@@ -1,0 +1,40 @@
+"""rustfhe_tpu — a TPU-native TFHE gate-bootstrapping framework.
+
+A from-scratch JAX/XLA re-design of the capabilities of hideki1217/rusTfhe
+(TLWE/TRLWE/TRGSW, external product, CMux, blind rotation, sample
+extraction, identity key switching, bootstrapped homomorphic gates, and the
+`nander` logic-expression evaluator), built batch-first for TPU hardware:
+exact integer arithmetic mod 2^32, MXU matmul convolution engines, one jit
+region per gate batch, and mesh sharding for scale-out.
+"""
+
+from .params import TFHEParams, DEFAULT_PARAMS, TEST_PARAMS, N2048_PARAMS
+from .keys import SecretKey, CloudKey, gen_keys, gen_secret_key, gen_cloud_key
+from .engine import get_engine, register_engine
+from . import torus, tlwe, trlwe, trgsw, decomp, poly, bootstrap, gates
+from .context import TFHE
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "TFHEParams",
+    "DEFAULT_PARAMS",
+    "TEST_PARAMS",
+    "N2048_PARAMS",
+    "SecretKey",
+    "CloudKey",
+    "gen_keys",
+    "gen_secret_key",
+    "gen_cloud_key",
+    "get_engine",
+    "register_engine",
+    "TFHE",
+    "torus",
+    "tlwe",
+    "trlwe",
+    "trgsw",
+    "decomp",
+    "poly",
+    "bootstrap",
+    "gates",
+]

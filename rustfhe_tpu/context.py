@@ -1,0 +1,93 @@
+"""High-level TFHE context: the user-facing object API.
+
+The analogue of the reference's ``TFHE`` struct (``hom_nand/src/tfhe.rs:9-12``)
+plus its ``Logip`` implementation (``nander/src/lib.rs:40-62``): owns the key
+material and exposes encrypt/decrypt and the gate set, batched.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import gates, tlwe
+from .engine import get_engine
+from .keys import CloudKey, SecretKey, gen_keys
+from .params import DEFAULT_PARAMS, TFHEParams
+
+U32 = jnp.uint32
+
+
+class TFHE:
+    """Keyed TFHE evaluator.
+
+    >>> ctx = TFHE.new(jax.random.PRNGKey(0), params)
+    >>> c = ctx.encrypt(jnp.array([0, 1, 1, 0]))
+    >>> out = ctx.nand(c, c)
+    >>> bits = ctx.decrypt(out)
+    """
+
+    def __init__(self, sk: SecretKey | None, ck: CloudKey, params: TFHEParams, engine_name: str):
+        self.sk = sk
+        self.ck = ck
+        self.params = params
+        self.engine_name = engine_name
+        self._enc_key = None
+
+    @classmethod
+    def new(cls, key, params: TFHEParams = DEFAULT_PARAMS, engine_name: str = "matmul") -> "TFHE":
+        kg, ke = jax.random.split(key)
+        sk, ck = gen_keys(kg, params, engine_name)
+        ctx = cls(sk, ck, params, engine_name)
+        ctx._enc_key = ke
+        return ctx
+
+    # -------------------------- client side --------------------------- #
+    def _next_key(self):
+        if self._enc_key is None:
+            raise ValueError("no encryption key available (cloud-only context)")
+        self._enc_key, k = jax.random.split(self._enc_key)
+        return k
+
+    def encrypt(self, bits) -> jnp.ndarray:
+        """bits: {0,1} array (...,) -> TLWE batch (..., n+1)."""
+        if self.sk is None:
+            raise ValueError("cloud-only context cannot encrypt")
+        return tlwe.encrypt_binary(self._next_key(), self.sk.lv0, jnp.asarray(bits), self.params)
+
+    def decrypt(self, cts) -> jnp.ndarray:
+        if self.sk is None:
+            raise ValueError("cloud-only context cannot decrypt")
+        return tlwe.decrypt_binary(cts, self.sk.lv0)
+
+    def trivial(self, bits) -> jnp.ndarray:
+        """Noiseless ciphertexts of constants (AsLogic, tlwe.rs:80-87)."""
+        from . import torus
+
+        return tlwe.trivial(torus.binary_to_torus(jnp.asarray(bits)), self.params.n)
+
+    def cloud_only(self) -> "TFHE":
+        """Drop the secret key: evaluator-side view."""
+        return TFHE(None, self.ck, self.params, self.engine_name)
+
+    # -------------------------- gate set ------------------------------ #
+    def _g(self, fn, *args):
+        return fn(self.ck, *args, params=self.params, engine_name=self.engine_name)
+
+    def nand(self, x, y):
+        return self._g(gates.hom_nand, x, y)
+
+    def and_(self, x, y):
+        return self._g(gates.hom_and, x, y)
+
+    def or_(self, x, y):
+        return self._g(gates.hom_or, x, y)
+
+    def xor(self, x, y):
+        return self._g(gates.hom_xor, x, y)
+
+    def not_(self, x):
+        return self._g(gates.hom_not, x)
+
+    def mux(self, control, in0, in1):
+        return self._g(gates.hom_mux, control, in0, in1)

@@ -1,0 +1,82 @@
+"""Polynomial-arithmetic engines.
+
+This package is the TPU-native equivalent of the reference's native layer
+(the vendored spqlios f64 FFT: ``utils/src/spqlios/*`` + the ``Spqlios``
+FFI wrapper, ``utils/src/spqlios.rs``).  TPUs have no native f64, so the
+design replaces the approximate f64 FFT with *exact* integer arithmetic
+mod 2^32 (SURVEY.md §7 design decision 1):
+
+* ``OracleEngine`` — naive O(N^2) uint32 wrapping convolution.  Slow,
+  trivially correct; the ground truth (the analogue of the reference's
+  naive ``cross``, math.rs:237-257).
+* ``MatmulEngine`` — the production engine.  Negacyclic convolution as one
+  dense MXU matmul per blind-rotate step: bootstrapping-key polynomials are
+  pre-split into balanced signed limbs, a negacyclic "circulant" operand is
+  materialized per step, and the int8 (or bf16) matmul accumulates exactly;
+  limbs recombine with wrapping shifts, giving bit-exact results mod 2^32.
+
+Every engine implements the same three operations:
+  ``prepare_trgsw``     — precompute the fast representation of TRGSW rows
+                          (the analogue of ``TRGSWRepF``, trgsw.rs:64-108).
+  ``external_product_digits`` — (digits, prepared rows) -> TRLWE pair.
+  ``poly_mul_torus_binary``   — torus poly x binary poly (encrypt/decrypt).
+"""
+
+from __future__ import annotations
+
+from typing import Protocol
+
+import jax.numpy as jnp
+
+
+class PolyEngine(Protocol):
+    """Interface all polynomial engines implement."""
+
+    name: str
+
+    def prepare_trgsw(self, rows: jnp.ndarray, params) -> object:
+        """Precompute the engine representation of TRGSW rows.
+
+        ``rows``: uint32 ``(..., 2L, 2, N)`` — per row j, index 0 holds the
+        cipher (b) polynomial and index 1 the mask (a) polynomial.
+        """
+
+    def external_product_digits(self, prepared, digits: jnp.ndarray, params) -> jnp.ndarray:
+        """Accumulate sum_j digits[..., j, :] (*) rows[j] for both output polys.
+
+        ``digits``: int32 ``(..., 2L, N)`` gadget digits (b digits then a
+        digits, trgsw.rs:289-299).  Returns uint32 ``(..., 2, N)``.
+        """
+
+    def poly_mul_torus_binary(self, a: jnp.ndarray, s: jnp.ndarray, params) -> jnp.ndarray:
+        """Negacyclic product of uint32 torus poly ``a (..., N)`` by binary
+        poly ``s (N,)``, exact mod 2^32."""
+
+
+from .oracle import OracleEngine  # noqa: E402
+from .matmul import MatmulEngine  # noqa: E402
+
+_ENGINES = {}
+
+
+def register_engine(name: str, engine) -> None:
+    _ENGINES[name] = engine
+
+
+def get_engine(name: str = "matmul"):
+    if name not in _ENGINES:
+        raise KeyError(f"unknown engine {name!r}; have {sorted(_ENGINES)}")
+    return _ENGINES[name]
+
+
+register_engine("oracle", OracleEngine())
+register_engine("matmul", MatmulEngine())
+register_engine("matmul_bf16", MatmulEngine(limb_bits=4, use_bf16=True))
+
+__all__ = [
+    "PolyEngine",
+    "OracleEngine",
+    "MatmulEngine",
+    "get_engine",
+    "register_engine",
+]

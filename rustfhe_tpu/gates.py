@@ -1,0 +1,80 @@
+"""Bootstrapped homomorphic gates, batched.
+
+The six gate formulas are the reference's linear pre-combinations followed
+by a bootstrap (``hom_nand/src/tfhe.rs:27-71``):
+
+  NAND: mu - (x + y)        AND: (x + y) - mu       OR:  (x + y) + mu
+  XOR:  2(x + y) + 2mu      NOT: -x                 MUX: and/and/or (3 bootstraps)
+
+All gates operate on batches: inputs of shape ``(..., n+1)`` produce outputs
+of the same shape, with every ciphertext in the batch bootstrapped in the
+same fused device program.  ``jit_gate`` returns a jit-compiled gate closure
+for a fixed (params, engine) pair.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import tlwe
+from .bootstrap import bootstrap
+from .engine import get_engine
+from .keys import CloudKey
+from .params import TFHEParams
+
+U32 = jnp.uint32
+
+
+def _mu_trivial(params: TFHEParams, shape=()):
+    return tlwe.trivial(jnp.full(shape, params.mu, U32), params.n)
+
+
+@partial(jax.jit, static_argnames=("params", "engine_name"))
+def hom_nand(ck: CloudKey, x, y, *, params: TFHEParams, engine_name: str = "matmul"):
+    engine = get_engine(engine_name)
+    pre = (_mu_trivial(params) - (x + y)).astype(U32)
+    return bootstrap(pre, ck, params, engine)
+
+
+@partial(jax.jit, static_argnames=("params", "engine_name"))
+def hom_and(ck: CloudKey, x, y, *, params: TFHEParams, engine_name: str = "matmul"):
+    engine = get_engine(engine_name)
+    pre = ((x + y) - _mu_trivial(params)).astype(U32)
+    return bootstrap(pre, ck, params, engine)
+
+
+@partial(jax.jit, static_argnames=("params", "engine_name"))
+def hom_or(ck: CloudKey, x, y, *, params: TFHEParams, engine_name: str = "matmul"):
+    engine = get_engine(engine_name)
+    pre = ((x + y) + _mu_trivial(params)).astype(U32)
+    return bootstrap(pre, ck, params, engine)
+
+
+@partial(jax.jit, static_argnames=("params", "engine_name"))
+def hom_xor(ck: CloudKey, x, y, *, params: TFHEParams, engine_name: str = "matmul"):
+    engine = get_engine(engine_name)
+    two_mu = tlwe.trivial(jnp.asarray(2 * params.mu & 0xFFFFFFFF, U32), params.n)
+    pre = ((x + y) * U32(2) + two_mu).astype(U32)
+    return bootstrap(pre, ck, params, engine)
+
+
+@partial(jax.jit, static_argnames=("params", "engine_name"))
+def hom_not(ck: CloudKey, x, *, params: TFHEParams, engine_name: str = "matmul"):
+    engine = get_engine(engine_name)
+    return bootstrap(tlwe.neg(x), ck, params, engine)
+
+
+@partial(jax.jit, static_argnames=("params", "engine_name"))
+def hom_mux(ck: CloudKey, control, in0, in1, *, params: TFHEParams, engine_name: str = "matmul"):
+    """(in1 & control) | (in0 & !control), 3 bootstraps (tfhe.rs:27-40)."""
+    engine = get_engine(engine_name)
+    i1 = hom_and(ck, control, in1, params=params, engine_name=engine_name)
+    i0 = hom_and(ck, tlwe.neg(control), in0, params=params, engine_name=engine_name)
+    pre = (i1 + i0 + _mu_trivial(params)).astype(U32)
+    return bootstrap(pre, ck, params, engine)
+
+
+GATES_2IN = {"nand": hom_nand, "and": hom_and, "or": hom_or, "xor": hom_xor}

@@ -1,0 +1,140 @@
+"""TFHE parameter sets.
+
+TPU-native re-design of the compile-time const-generic parameter plumbing in
+the reference (rusTfhe): there, dimensions are Rust const-generics and the
+numeric constants live in helper structs (``TLWEHelper`` reference
+``hom_nand/src/tlwe.rs:174-180``, ``TRLWEHelper`` ``trlwe.rs:75-77``,
+``TRGSWHelper`` ``trgsw.rs:110-116``, ``TFHEHelper`` ``tfhe.rs:14-18``).
+
+Here a frozen (hashable) dataclass carries the whole parameter set so it can
+be passed as a ``jax.jit`` static argument; every shape in the framework is a
+pure function of it, keeping XLA shapes static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+def _make_decomp_mask(l: int, bits: int) -> int:
+    """Rounding mask for the signed gadget decomposition.
+
+    Bit-exact port of the semantics of ``Torus32::make_decomp_mask`` in the
+    reference (``utils/src/math.rs:542-560``), including its quirk: when
+    ``32 - l*bits != 0`` the bit at ``32 - l*bits - 1`` is added *twice*
+    (once by the initializer, once by the ``i = l`` loop iteration), so it
+    carries up one position.  The external product uses exactly this constant
+    (``hom_nand/src/trgsw.rs:269``), so we must reproduce it, not the
+    similar-but-different inlined variant at ``math.rs:581-593``.
+    """
+    total = 32
+    u = 0
+    if total - l * bits != 0:
+        u = (u + (1 << (total - l * bits - 1))) & 0xFFFFFFFF
+        for i in range(l, 0, -1):
+            u += 1 << (total - i * bits - 1)
+    else:
+        for i in range(l - 1, 0, -1):
+            u += 1 << (total - i * bits - 1)
+    return u & 0xFFFFFFFF
+
+
+@dataclass(frozen=True)
+class TFHEParams:
+    """Full TFHE gate-bootstrapping parameter set.
+
+    Defaults reproduce the reference's ~128-bit set (SURVEY.md §2.5):
+    n=635, N=1024, alpha_lv0=2^-15, alpha_lv1=2^-25, Bg=2^6, L=3,
+    key-switch basebit=2 with 8 levels, gate constant mu=1/8.
+    """
+
+    # TLWE lv0 dimension (reference tlwe.rs:175)
+    n: int = 635
+    # TRLWE / lv1 polynomial degree, must be a power of two (trlwe.rs:76)
+    N: int = 1024
+    # lv0 noise stddev (tlwe.rs:176)
+    alpha_lv0: float = 2.0 ** -15
+    # lv1 noise stddev (trlwe.rs:77)
+    alpha_lv1: float = 2.0 ** -25
+    # gadget decomposition base bits: Bg = 2^bgbit (trgsw.rs:112)
+    bgbit: int = 6
+    # gadget decomposition levels (trgsw.rs:115)
+    l: int = 3
+    # identity key switch base bits (tlwe.rs:179)
+    iks_basebit: int = 2
+    # identity key switch levels (tlwe.rs:178)
+    iks_l: int = 8
+
+    # ------------------------------------------------------------------ #
+    # Derived quantities (computed, not stored, so the dataclass stays
+    # trivially hashable and constructors stay simple).
+    # ------------------------------------------------------------------ #
+    @property
+    def nbit(self) -> int:
+        """log2(N) (tfhe.rs:16)."""
+        return self.N.bit_length() - 1
+
+    @property
+    def bg(self) -> int:
+        return 1 << self.bgbit
+
+    @property
+    def half_bg(self) -> int:
+        return 1 << (self.bgbit - 1)
+
+    @property
+    def decomp_mask(self) -> int:
+        """Rounding mask used by the external product (trgsw.rs:269)."""
+        return _make_decomp_mask(self.l, self.bgbit)
+
+    @property
+    def iks_t(self) -> int:
+        """Key-switch digit base 2^basebit (tlwe.rs:180)."""
+        return 1 << self.iks_basebit
+
+    @property
+    def iks_round(self) -> int:
+        """Rounding constant for key-switch decomposition (tlwe.rs:50-54)."""
+        rem = 32 - self.iks_l * self.iks_basebit
+        return (1 << (rem - 1)) if rem != 0 else 0
+
+    @property
+    def mu(self) -> int:
+        """Torus32 encoding of the gate constant 1/8 (tfhe.rs:17)."""
+        return 1 << 29
+
+    @property
+    def two_n(self) -> int:
+        return 2 * self.N
+
+    def __post_init__(self):
+        if self.N & (self.N - 1) != 0:
+            raise ValueError(f"N must be a power of two, got {self.N}")
+        if self.l * self.bgbit > 32:
+            raise ValueError("l * bgbit must be <= 32")
+        if self.iks_l * self.iks_basebit > 32:
+            raise ValueError("iks_l * iks_basebit must be <= 32")
+
+    def replace(self, **kw) -> "TFHEParams":
+        return dataclasses.replace(self, **kw)
+
+
+# The reference's production parameter set (SURVEY.md §2.5).
+DEFAULT_PARAMS = TFHEParams()
+
+# A small set for fast CPU tests: same algebraic structure, tiny dimensions.
+# Noise chosen so that gates still decode correctly with wide margin.
+TEST_PARAMS = TFHEParams(
+    n=16,
+    N=64,
+    alpha_lv0=2.0 ** -20,
+    alpha_lv1=2.0 ** -28,
+)
+
+# Larger-degree variant for the parameter sweep bench config
+# (BASELINE.json configs[4]).
+N2048_PARAMS = TFHEParams(
+    N=2048,
+    alpha_lv1=2.0 ** -26,
+)

@@ -1,0 +1,85 @@
+"""TLWE (scalar LWE over the torus), batched.
+
+Re-design of the reference's ``TLWE``/``TLWERep`` (``hom_nand/src/tlwe.rs``)
+with a TPU-first layout: a batch of TLWE ciphertexts is ONE uint32 array of
+shape ``(..., n+1)`` with the body ``b`` at index 0 and the mask ``a`` at
+indices 1..n (reference: ``TLWERep { cipher: b, p_key: a }``, tlwe.rs:20-23).
+All ring operations are plain wrapping uint32 array arithmetic, so they
+vectorize over any batch shape and fuse under jit.
+
+Encoding: Binary One -> +1/8, Zero -> -1/8; decode fraction < 0.5 -> One
+(tlwe.rs:181-195).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import torus
+from .params import TFHEParams
+from .utils.rng import gaussian_torus, uniform_torus
+
+U32 = jnp.uint32
+
+
+def trivial(b, n: int) -> jnp.ndarray:
+    """Noiseless ciphertext (b, 0,...,0) (tlwe.rs:75-79)."""
+    b = jnp.asarray(b, U32)
+    out = jnp.zeros(b.shape + (n + 1,), U32)
+    return out.at[..., 0].set(b)
+
+
+def logic_true(n: int) -> jnp.ndarray:
+    return trivial(torus.TORUS_ONE_EIGHTH, n)
+
+
+def logic_false(n: int) -> jnp.ndarray:
+    return trivial(torus.TORUS_MINUS_ONE_EIGHTH, n)
+
+
+def body(ct) -> jnp.ndarray:
+    return ct[..., 0]
+
+
+def mask(ct) -> jnp.ndarray:
+    return ct[..., 1:]
+
+
+def neg(ct) -> jnp.ndarray:
+    return (~jnp.asarray(ct, U32) + U32(1)).astype(U32)
+
+
+def mul_int(ct, k: int) -> jnp.ndarray:
+    """Scalar multiply; wrapping, handles negative k (math.rs:638-653)."""
+    return (jnp.asarray(ct, U32) * U32(k & 0xFFFFFFFF)).astype(U32)
+
+
+def encrypt_torus(key, s: jnp.ndarray, m, params: TFHEParams) -> jnp.ndarray:
+    """Encrypt torus message(s) under binary key ``s (n,)``.
+
+    ``m``: uint32 array, any shape B.  Returns ``B + (n+1,)``.
+    b = sum_{s_i=1} a_i + e + m (tlwe.rs:213-228).
+    """
+    m = jnp.asarray(m, U32)
+    n = s.shape[-1]
+    ka, ke = jax.random.split(key)
+    a = uniform_torus(ka, m.shape + (n,))
+    e = gaussian_torus(ke, m.shape, params.alpha_lv0)
+    b = jnp.sum(a * s.astype(U32), axis=-1, dtype=U32) + e + m
+    return jnp.concatenate([b[..., None], a], axis=-1)
+
+
+def phase(ct, s: jnp.ndarray) -> jnp.ndarray:
+    """b - <a, s> (tlwe.rs:230-240)."""
+    ct = jnp.asarray(ct, U32)
+    a_dot_s = jnp.sum(mask(ct) * s.astype(U32), axis=-1, dtype=U32)
+    return body(ct) - a_dot_s
+
+
+def encrypt_binary(key, s: jnp.ndarray, bits, params: TFHEParams) -> jnp.ndarray:
+    return encrypt_torus(key, s, torus.binary_to_torus(bits), params)
+
+
+def decrypt_binary(ct, s: jnp.ndarray) -> jnp.ndarray:
+    return torus.torus_to_binary(phase(ct, s))

@@ -1,0 +1,114 @@
+"""Negacyclic polynomial op tests: rotate golden vectors
+(``utils/src/math.rs:75-84,894-903``), naive-product hand values
+(math.rs:725-864 flavor), and engine-vs-oracle exact equivalence — the
+analogue of the reference's fft_cross-vs-cross test (math.rs:904-952)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rustfhe_tpu import poly
+from rustfhe_tpu.engine import get_engine
+from rustfhe_tpu.params import TFHEParams
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+
+def test_rotate_golden():
+    p = jnp.array([1, 2, 3, 4, 5], I32)
+    cases = {
+        1: [-5, 1, 2, 3, 4],
+        3: [-3, -4, -5, 1, 2],
+        -1: [2, 3, 4, 5, -1],
+        -3: [4, 5, -1, -2, -3],
+        5: [-1, -2, -3, -4, -5],
+        -4: [5, -1, -2, -3, -4],
+        10: [1, 2, 3, 4, 5],
+    }
+    for n, expect in cases.items():
+        got = list(np.asarray(poly.rotate(p, n)))
+        assert got == expect, (n, got, expect)
+    # rotate(-8) == rotate(2) (math.rs:82)
+    assert np.array_equal(np.asarray(poly.rotate(p, -8)), np.asarray(poly.rotate(p, 2)))
+
+
+def test_rotate_batched_per_item():
+    rs = np.random.RandomState(0)
+    p = jnp.asarray(rs.randint(0, 2**32, size=(8, 16), dtype=np.uint64).astype(np.uint32))
+    ns = jnp.array([0, 1, 5, 16, 17, 31, 32, 3], I32)
+    out = poly.rotate(p, ns)
+    for b in range(8):
+        single = poly.rotate(p[b], int(ns[b]))
+        assert np.array_equal(np.asarray(out[b]), np.asarray(single))
+
+
+def test_rotate_uint_wraps_sign():
+    # negation of unsigned coefficients must be mod-2^32 two's complement.
+    p = jnp.array([1, 0, 0, 0], U32)
+    out = np.asarray(poly.rotate(p, 4))  # X^N * p == -p
+    assert out[0] == 0xFFFFFFFF
+
+
+def test_naive_negacyclic_hand_values():
+    # (1 + 2X)(3 + 4X) over Z[X]/(X^2+1) = 3 + 10X + 8X^2 = -5 + 10X
+    a = jnp.array([1, 2], I32)
+    b = jnp.array([3, 4], I32)
+    got = list(poly.negacyclic_mul_i64(np.asarray(a), np.asarray(b)))
+    assert got == [-5, 10]
+    # X * X == -1 at N=2
+    a = jnp.array([0, 1], I32)
+    got = list(poly.negacyclic_mul_i64(np.asarray(a), np.asarray(a)))
+    assert got == [-1, 0]
+
+
+def test_torus_oracle_matches_i64_mod32():
+    rs = np.random.RandomState(1)
+    N = 32
+    a = rs.randint(0, 2**32, size=(N,), dtype=np.uint64).astype(np.uint32)
+    b = rs.randint(-32, 32, size=(N,)).astype(np.int32)
+    got = np.asarray(poly.negacyclic_mul_torus_oracle(jnp.asarray(a), jnp.asarray(b)))
+    exact = poly.negacyclic_mul_i64(a.astype(np.int64), b)
+    assert np.array_equal(got, (exact % (1 << 32)).astype(np.uint32))
+
+
+def test_signed_limbs_round_trip():
+    rs = np.random.RandomState(2)
+    xs = jnp.asarray(rs.randint(0, 2**32, size=(1000,), dtype=np.uint64).astype(np.uint32))
+    for bits in (8, 4):
+        limbs = poly.to_signed_limbs(xs, bits, 32 // bits)
+        assert int(jnp.max(jnp.abs(limbs.astype(I32)))) <= 1 << (bits - 1)
+        back = poly.from_signed_limbs(limbs, bits)
+        assert np.array_equal(np.asarray(back), np.asarray(xs))
+
+
+@pytest.mark.parametrize("engine_name", ["matmul", "matmul_bf16"])
+def test_poly_mul_engine_vs_oracle(engine_name):
+    params = TFHEParams(n=16, N=64)
+    eng = get_engine(engine_name)
+    oracle = get_engine("oracle")
+    rs = np.random.RandomState(3)
+    a = jnp.asarray(rs.randint(0, 2**32, size=(5, 64), dtype=np.uint64).astype(np.uint32))
+    s = jnp.asarray(rs.randint(0, 2, size=(64,)).astype(np.uint32))
+    got = eng.poly_mul_torus_binary(a, s, params)
+    want = oracle.poly_mul_torus_binary(a, s, params)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("engine_name", ["matmul", "matmul_bf16"])
+def test_external_product_engine_vs_oracle(engine_name):
+    params = TFHEParams(n=16, N=64)
+    eng = get_engine(engine_name)
+    oracle = get_engine("oracle")
+    rs = np.random.RandomState(4)
+    rows = jnp.asarray(
+        rs.randint(0, 2**32, size=(2 * params.l, 2, params.N), dtype=np.uint64).astype(np.uint32)
+    )
+    digits = jnp.asarray(
+        rs.randint(-params.half_bg, params.half_bg, size=(3, 2 * params.l, params.N)).astype(
+            np.int32
+        )
+    )
+    got = eng.external_product_digits(eng.prepare_trgsw(rows, params), digits, params)
+    want = oracle.external_product_digits(oracle.prepare_trgsw(rows, params), digits, params)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
