@@ -1,0 +1,277 @@
+"""nander: logic-expression parser, evaluator and console REPL.
+
+Feature-parity re-implementation of the reference ``nander`` crate:
+  * ``Logip`` protocol — required NAND, defaulted NOT/AND/OR/XOR as NAND
+    compositions (reference ``nander/src/lib.rs:19-38``),
+  * ``LogicExpr`` AST + recursive evaluator (lib.rs:64-89),
+  * recursive-descent parser over the grammar ``0 1 ! & | ^ $ ( )`` with
+    left-associative binary chains (lib.rs:90-172),
+  * interactive console (``nander/src/main.rs:20-70``).
+
+Leaves parse to *trivial* (noiseless) ciphertexts exactly as the reference's
+``AsLogic`` does (tlwe.rs:80-87); gates still bootstrap.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass
+
+
+class Logip:
+    """Logical processor base: NAND is required; the rest default to NAND
+    compositions exactly as the reference trait does (lib.rs:25-37)."""
+
+    def nand(self, lhs, rhs):
+        raise NotImplementedError
+
+    def logic_true(self):
+        raise NotImplementedError
+
+    def logic_false(self):
+        raise NotImplementedError
+
+    def not_(self, x):
+        return self.nand(x, x)
+
+    def and_(self, lhs, rhs):
+        return self.not_(self.nand(lhs, rhs))
+
+    def or_(self, lhs, rhs):
+        return self.nand(self.not_(lhs), self.not_(rhs))
+
+    def xor(self, lhs, rhs):
+        x = self.nand(lhs, rhs)
+        return self.nand(self.nand(lhs, x), self.nand(x, rhs))
+
+
+class PlainLogic(Logip):
+    """Plaintext Logip for tests and cross-checks."""
+
+    def nand(self, lhs, rhs):
+        return 1 - (lhs & rhs)
+
+    def not_(self, x):
+        return 1 - x
+
+    def and_(self, lhs, rhs):
+        return lhs & rhs
+
+    def or_(self, lhs, rhs):
+        return lhs | rhs
+
+    def xor(self, lhs, rhs):
+        return lhs ^ rhs
+
+    def logic_true(self):
+        return 1
+
+    def logic_false(self):
+        return 0
+
+
+class FheLogic(Logip):
+    """Logip over a TFHE context (the analogue of ``impl Logip for TFHE``,
+    lib.rs:40-62): uses native gates, leaves as trivial ciphertexts."""
+
+    def __init__(self, ctx):
+        self.ctx = ctx
+
+    def nand(self, lhs, rhs):
+        return self.ctx.nand(lhs, rhs)
+
+    def not_(self, x):
+        return self.ctx.not_(x)
+
+    def and_(self, lhs, rhs):
+        return self.ctx.and_(lhs, rhs)
+
+    def or_(self, lhs, rhs):
+        return self.ctx.or_(lhs, rhs)
+
+    def xor(self, lhs, rhs):
+        return self.ctx.xor(lhs, rhs)
+
+    def logic_true(self):
+        return self.ctx.trivial(1)
+
+    def logic_false(self):
+        return self.ctx.trivial(0)
+
+
+# ----------------------------- AST ----------------------------------- #
+@dataclass
+class Nand:
+    lhs: "Expr"
+    rhs: "Expr"
+
+
+@dataclass
+class Not:
+    lhs: "Expr"
+
+
+@dataclass
+class And:
+    lhs: "Expr"
+    rhs: "Expr"
+
+
+@dataclass
+class Or:
+    lhs: "Expr"
+    rhs: "Expr"
+
+
+@dataclass
+class Xor:
+    lhs: "Expr"
+    rhs: "Expr"
+
+
+@dataclass
+class Leaf:
+    value: bool
+
+
+Expr = Nand | Not | And | Or | Xor | Leaf
+
+
+class ParseError(ValueError):
+    pass
+
+
+def parse_logic_expr(text: str) -> Expr:
+    """Parse per the reference grammar (lib.rs:90-172).
+
+    binary := mono (('&'|'|'|'^'|'$') mono)*   (left-associative)
+    mono   := '!' mono | elem
+    elem   := '0' | '1' | '(' binary ')'
+    NOTE the reference quirk: Nand(lhs, rhs) *swaps* operands at eval time
+    (lib.rs:74-76 evaluates rhs as lhs); since NAND is commutative the
+    result is identical, so we keep natural order.
+    """
+    s = "".join(text.split())
+    pos = 0
+
+    def peek():
+        return s[pos] if pos < len(s) else None
+
+    def advance():
+        nonlocal pos
+        c = s[pos]
+        pos += 1
+        return c
+
+    def parse_binary():
+        lhs = parse_mono()
+        while True:
+            c = peek()
+            if c == "&":
+                advance()
+                lhs = And(lhs, parse_mono())
+            elif c == "|":
+                advance()
+                lhs = Or(lhs, parse_mono())
+            elif c == "^":
+                advance()
+                lhs = Xor(lhs, parse_mono())
+            elif c == "$":
+                advance()
+                lhs = Nand(lhs, parse_mono())
+            else:
+                return lhs
+
+    def parse_mono():
+        if peek() == "!":
+            advance()
+            return Not(parse_mono())
+        return parse_elem()
+
+    def parse_elem():
+        c = peek()
+        if c is None:
+            raise ParseError("invalid element. this is none")
+        advance()
+        if c == "0":
+            return Leaf(False)
+        if c == "1":
+            return Leaf(True)
+        if c == "(":
+            e = parse_binary()
+            if peek() != ")":
+                raise ParseError("braket is not closed")
+            advance()
+            return e
+        raise ParseError("invalid element")
+
+    expr = parse_binary()
+    if pos != len(s):
+        raise ParseError(f"unexpected trailing input at {pos}: {s[pos:]!r}")
+    return expr
+
+
+def eval_logic_expr(pros, expr: Expr):
+    """Recursive evaluation (lib.rs:72-89)."""
+    match expr:
+        case Leaf(value=v):
+            return pros.logic_true() if v else pros.logic_false()
+        case Not(lhs=l):
+            return pros.not_(eval_logic_expr(pros, l))
+        case Nand(lhs=l, rhs=r):
+            return pros.nand(eval_logic_expr(pros, l), eval_logic_expr(pros, r))
+        case And(lhs=l, rhs=r):
+            return pros.and_(eval_logic_expr(pros, l), eval_logic_expr(pros, r))
+        case Or(lhs=l, rhs=r):
+            return pros.or_(eval_logic_expr(pros, l), eval_logic_expr(pros, r))
+        case Xor(lhs=l, rhs=r):
+            return pros.xor(eval_logic_expr(pros, l), eval_logic_expr(pros, r))
+    raise TypeError(f"not an expression: {expr!r}")
+
+
+RULES = """nander: evaluate logical expressions over encrypted bits.
+  literals: 0 1    operators: ! (not) & (and) | (or) ^ (xor) $ (nand)
+  parentheses group; binary operators chain left-associatively.
+  example: (1 & 0) ^ !0
+Ctrl-D to exit."""
+
+
+def nander_console(params=None, engine_name: str = "matmul", stdin=None, stdout=None):
+    """Interactive console (main.rs:20-70): keygen, then parse/eval/decrypt."""
+    import jax
+    import numpy as np
+
+    from ..context import TFHE
+    from ..params import DEFAULT_PARAMS
+
+    stdin = stdin or sys.stdin
+    stdout = stdout or sys.stdout
+    params = params or DEFAULT_PARAMS
+
+    print(RULES, file=stdout)
+    print("generating keys...", file=stdout, flush=True)
+    t0 = time.perf_counter()
+    ctx = TFHE.new(jax.random.PRNGKey(int(time.time())), params, engine_name)
+    print(f"keys ready in {time.perf_counter() - t0:.1f}s", file=stdout, flush=True)
+
+    pros = FheLogic(ctx)
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            expr = parse_logic_expr(line)
+        except ParseError as e:
+            print(f"parse error: {e}", file=stdout, flush=True)
+            continue
+        t0 = time.perf_counter()
+        ct = eval_logic_expr(pros, expr)
+        bit = int(np.asarray(ctx.decrypt(ct)))
+        dt = (time.perf_counter() - t0) * 1e6
+        print(f"res: {bit}", file=stdout)
+        print(f"time: {dt:.0f} us", file=stdout, flush=True)
+
+
+if __name__ == "__main__":
+    nander_console()

@@ -73,6 +73,43 @@ register_engine("oracle", OracleEngine())
 register_engine("matmul", MatmulEngine())
 register_engine("matmul_bf16", MatmulEngine(limb_bits=4, use_bf16=True))
 
+
+def select_fast_engine() -> str:
+    """Pick the fastest engine whose matmul path is exact on this backend.
+
+    The int8 engine relies on the backend computing s8 x s8 -> s32 dot
+    products exactly (native on TPU MXU).  This probes a small external
+    product on the default device against the host oracle; if the backend
+    miscomputes it (e.g. silently via a low-precision float path), fall back
+    to the bf16 engine whose accumulations are provably exact in f32.
+    """
+    import numpy as np
+
+    from ..params import TFHEParams
+
+    params = TFHEParams(n=4, N=64)
+    rs = np.random.RandomState(1234)
+    rows = jnp.asarray(
+        rs.randint(0, 2**32, size=(2 * params.l, 2, params.N), dtype=np.uint64).astype(np.uint32)
+    )
+    digits = jnp.asarray(
+        rs.randint(-params.half_bg, params.half_bg, size=(2, 2 * params.l, params.N)).astype(
+            np.int32
+        )
+    )
+    oracle = get_engine("oracle")
+    want = np.asarray(
+        oracle.external_product_digits(oracle.prepare_trgsw(rows, params), digits, params)
+    )
+    for name in ("matmul", "matmul_bf16"):
+        eng = get_engine(name)
+        got = np.asarray(
+            eng.external_product_digits(eng.prepare_trgsw(rows, params), digits, params)
+        )
+        if np.array_equal(got, want):
+            return name
+    raise RuntimeError("no engine computes the external product exactly on this backend")
+
 __all__ = [
     "PolyEngine",
     "OracleEngine",
