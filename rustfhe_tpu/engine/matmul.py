@@ -86,12 +86,18 @@ class MatmulEngine:
         """q: int8 (2L, 2, K, 2N) -> C: int8 (2L*N, 2*K*N).
 
         C[(j,m),(c,l,n)] = q[j,c,l,(n-m) mod 2N].
+
+        Built gather-free with the tile/reshape identity: for t of length L,
+        ``tile(t, N)[: N*(L-1)].reshape(N, L-1)[m, i] == t[(i - m) mod L]``
+        (each reshaped row starts one element earlier mod L).  Pure data
+        movement, which TPUs stream far faster than a 2D gather.
         """
         N = params.N
-        m = jnp.arange(N)
-        n = jnp.arange(N)
-        idx = jnp.mod(n[None, :] - m[:, None], 2 * N)  # (m, n)
-        c = jnp.take(q, idx, axis=-1)  # (2L, 2, K, m, n)
+        two_n = 2 * N
+        lead = q.shape[:-1]  # (2L, 2, K)
+        tiled = jnp.tile(q, (1,) * len(lead) + (N,))  # (..., N*2N)
+        tiled = tiled[..., : N * (two_n - 1)].reshape(lead + (N, two_n - 1))
+        c = tiled[..., :N]  # (2L, 2, K, m, n)
         c = jnp.moveaxis(c, -2, 1)  # (2L, m, 2, K, n)
         two_l = 2 * params.l
         return c.reshape(two_l * N, 2 * self.num_limbs * N)
@@ -189,10 +195,8 @@ class MatmulEngine:
         N = a.shape[-1]
         s = jnp.asarray(s).astype(I8)
         sd = jnp.concatenate([s, -s], axis=-1)  # (2N,)
-        m = jnp.arange(N)
-        n = jnp.arange(N)
-        idx = jnp.mod(n[None, :] - m[:, None], 2 * N)
-        cs = jnp.take(sd, idx, axis=0)  # (m, n) int8
+        # same tile/reshape circulant construction as _circulant
+        cs = jnp.tile(sd, N)[: N * (2 * N - 1)].reshape(N, 2 * N - 1)[:, :N]
         limbs = to_signed_limbs(jnp.asarray(a, U32), self.limb_bits, self.num_limbs)
         # (..., N, K) -> (..., K, N)
         limbs = jnp.moveaxis(limbs, -1, -2)
