@@ -43,19 +43,22 @@ def blind_rotate(ct, bk_prepared, testvec, params: TFHEParams, engine) -> jnp.nd
     """
     nbit = params.nbit
     shift = 32 - nbit - 1
+    two_n = 2 * params.N
     b = tlwe.body(ct)  # (...,)
     a = tlwe.mask(ct)  # (..., n)
     b_tilde = (b >> U32(shift)).astype(I32)
     a_tilde = ((a + U32(1 << (shift - 1))) >> U32(shift)).astype(I32)
 
-    acc = poly.rotate(testvec, -b_tilde[..., None])  # (..., 2, N)
+    # X^{-b~}: reduce to [0, 2N) for the gather-free binary rotation.
+    neg_b = jnp.mod(-b_tilde, two_n)
+    acc = poly.rotate_binary(testvec, neg_b[..., None])  # (..., 2, N)
 
     # scan over the n key bits; batch stays inside the step.
     a_steps = jnp.moveaxis(a_tilde, -1, 0)  # (n, ...)
 
     def step(acc, xs):
         bk_i, a_i = xs
-        rotated = poly.rotate(acc, a_i[..., None])
+        rotated = poly.rotate_binary(acc, a_i[..., None])
         diff = (rotated - acc).astype(U32)
         digits = trgsw.decompose_trlwe(diff, params)
         cross = engine.external_product_digits(bk_i, digits, params)

@@ -60,6 +60,45 @@ def rotate(p: jnp.ndarray, n, two_n: int | None = None) -> jnp.ndarray:
     return jnp.where(neg, negated, gathered)
 
 
+def _negacyclic_roll_static(p: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Multiply by X^s for a STATIC s in [0, 2N): slice+concat+negate."""
+    N = p.shape[-1]
+    s = s % (2 * N)
+    neg = False
+    if s >= N:
+        s -= N
+        neg = True
+    if jnp.issubdtype(p.dtype, jnp.unsignedinteger):
+        negate = lambda x: (~x + jnp.asarray(1, p.dtype)).astype(p.dtype)
+    else:
+        negate = lambda x: -x
+    if s == 0:
+        out = p
+    else:
+        out = jnp.concatenate([negate(p[..., N - s :]), p[..., : N - s]], axis=-1)
+    return negate(out) if neg else out
+
+
+def rotate_binary(p: jnp.ndarray, n, nbits: int | None = None) -> jnp.ndarray:
+    """Per-item rotation by X^n via binary decomposition of n — gather-free.
+
+    Same semantics as ``rotate`` but implemented as nbits+1 static negacyclic
+    rolls combined with element-wise selects (TPU-vector-friendly; dynamic
+    gathers serialize on the scalar core).  ``n`` must already be reduced to
+    [0, 2N); shape broadcastable to ``p.shape[:-1]``.
+    """
+    N = p.shape[-1]
+    if nbits is None:
+        nbits = (2 * N - 1).bit_length()
+    n = jnp.asarray(n, I32)
+    out = p
+    for k in range(nbits):
+        bit = ((n >> k) & 1).astype(jnp.bool_)[..., None]
+        rolled = _negacyclic_roll_static(out, 1 << k)
+        out = jnp.where(bit, rolled, out)
+    return out
+
+
 def negacyclic_mul_i64(a, b) -> np.ndarray:
     """Exact negacyclic product over the integers (int64, host numpy).
 

@@ -112,3 +112,19 @@ def test_external_product_engine_vs_oracle(engine_name):
     got = eng.external_product_digits(eng.prepare_trgsw(rows, params), digits, params)
     want = oracle.external_product_digits(oracle.prepare_trgsw(rows, params), digits, params)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_rotate_binary_matches_rotate():
+    rs = np.random.RandomState(7)
+    p = jnp.asarray(rs.randint(0, 2**32, size=(6, 2, 32), dtype=np.uint64).astype(np.uint32))
+    ns = jnp.asarray(rs.randint(0, 64, size=(6, 1)).astype(np.int32))
+    got = poly.rotate_binary(p, ns)
+    want = poly.rotate(p, ns)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+    # signed dtype too
+    q = jnp.asarray(rs.randint(-100, 100, size=(4, 16)).astype(np.int32))
+    ms = jnp.asarray(rs.randint(0, 32, size=(4,)).astype(np.int32))
+    assert np.array_equal(
+        np.asarray(poly.rotate_binary(q, ms)),
+        np.asarray(poly.rotate(q, ms)),
+    )
