@@ -14,6 +14,7 @@ and reproducible, which the reference (thread_rng everywhere) cannot do.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -73,14 +74,25 @@ def gen_bootstrapping_key_raw(key, sk: SecretKey, params: TFHEParams, engine) ->
 
 
 def gen_cloud_key(key, sk: SecretKey, params: TFHEParams, engine_name: str = "matmul") -> CloudKey:
+    """Generate the evaluation key, fully jitted.
+
+    jit matters here for memory, not just speed: the limb-splitting and key
+    preparation create large intermediates that eager mode keeps alive;
+    under jit XLA frees/fuses them, keeping peak HBM far lower.
+    """
     engine = get_engine(engine_name)
-    kb, kk = jax.random.split(key)
-    bk_raw = gen_bootstrapping_key_raw(kb, sk, params, engine)
-    ksk_raw = gen_key_switching_key_raw(kk, sk, params)
-    return CloudKey(
-        bk=engine.prepare_trgsw(bk_raw, params),
-        ksk=engine.prepare_ksk(ksk_raw, params),
-    )
+
+    @partial(jax.jit, static_argnames=())
+    def _gen(key, sk):
+        kb, kk = jax.random.split(key)
+        bk_raw = gen_bootstrapping_key_raw(kb, sk, params, engine)
+        ksk_raw = gen_key_switching_key_raw(kk, sk, params)
+        return CloudKey(
+            bk=engine.prepare_trgsw(bk_raw, params),
+            ksk=engine.prepare_ksk(ksk_raw, params),
+        )
+
+    return _gen(key, sk)
 
 
 def gen_keys(key, params: TFHEParams = None, engine_name: str = "matmul"):

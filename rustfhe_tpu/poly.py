@@ -157,16 +157,19 @@ def to_signed_limbs(x, limb_bits: int, num_limbs: int) -> jnp.ndarray:
     base = U32((1 << limb_bits) - 1)
     half = 1 << (limb_bits - 1)
     limbs = []
-    carry = jnp.zeros_like(x)
+    carry = jnp.zeros(x.shape, U32)
     for k in range(num_limbs):
-        raw = ((x >> U32(min(limb_bits * k, 31))) if limb_bits * k < 32 else jnp.zeros_like(x)) & base
+        shift = limb_bits * k
+        raw = ((x >> U32(shift)) & base) if shift < 32 else jnp.zeros_like(x)
         raw = raw + carry
         # raw in [0, 2^limb_bits]; map to balanced and carry the excess.
         over = raw >= U32(half)
-        limbs.append(jnp.where(over, raw.astype(I32) - (1 << limb_bits), raw.astype(I32)))
-        carry = jnp.where(over, U32(1), U32(0))
-    out = jnp.stack(limbs, axis=-1)
-    return out.astype(jnp.int8)
+        # int8 immediately: raw - over*2^limb_bits fits [-half, half-1].
+        limbs.append(
+            (raw.astype(I32) - jnp.where(over, I32(1 << limb_bits), I32(0))).astype(jnp.int8)
+        )
+        carry = over.astype(U32)
+    return jnp.stack(limbs, axis=-1)
 
 
 def from_signed_limbs(limbs, limb_bits: int) -> jnp.ndarray:
