@@ -273,5 +273,37 @@ def nander_console(params=None, engine_name: str = "matmul", stdin=None, stdout=
         print(f"time: {dt:.0f} us", file=stdout, flush=True)
 
 
+def hom_nand_profile(params=None, engine_name: str = "matmul", iters: int = 100):
+    """Profile harness (reference ``nander`` 'profile' feature,
+    lib.rs:174-198): one timed NAND then ``iters`` untimed NANDs for
+    external profilers; here additionally reports amortized throughput."""
+    import jax
+    import numpy as np
+
+    from ..context import TFHE
+    from ..params import DEFAULT_PARAMS
+
+    params = params or DEFAULT_PARAMS
+    ctx = TFHE.new(jax.random.PRNGKey(0), params, engine_name)
+    c1 = ctx.encrypt(1)
+    c0 = ctx.encrypt(0)
+
+    t0 = time.perf_counter()
+    out = ctx.nand(c0, c1)
+    jax.block_until_ready(out)
+    print(f"hom_nand: {(time.perf_counter() - t0) * 1e6:.0f} us (first call, incl. compile)")
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = ctx.nand(c0, c1)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    print(f"{iters} nands: {dt * 1e3:.1f} ms total, {dt / iters * 1e6:.0f} us/gate")
+    assert int(np.asarray(ctx.decrypt(out))) == 1
+
+
 if __name__ == "__main__":
-    nander_console()
+    if "--profile" in sys.argv:
+        hom_nand_profile()
+    else:
+        nander_console()

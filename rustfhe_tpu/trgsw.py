@@ -93,6 +93,33 @@ def decrypt_int(rep, s, params: TFHEParams, engine) -> jnp.ndarray:
     return jnp.where(res > bg // 2, res - bg, res)
 
 
+def encrypt_uint_poly(key, s, item, params: TFHEParams, engine) -> jnp.ndarray:
+    """Polynomial<u32> item type (trgsw.rs:179-191): routed through i32."""
+    return encrypt_int_poly(key, s, jnp.asarray(item).astype(I32), params, engine)
+
+
+def decrypt_uint_poly(rep, s, params: TFHEParams, engine) -> jnp.ndarray:
+    return decrypt_int_poly(rep, s, params, engine).astype(U32)
+
+
+def encrypt_binary_poly(key, s, bits, params: TFHEParams, engine) -> jnp.ndarray:
+    """Polynomial<Binary> item type (trgsw.rs:192-211)."""
+    return encrypt_int_poly(key, s, jnp.asarray(bits).astype(I32), params, engine)
+
+
+def decrypt_binary_poly(rep, s, params: TFHEParams, engine) -> jnp.ndarray:
+    return (decrypt_int_poly(rep, s, params, engine) != 0).astype(U32)
+
+
+def encrypt_binary(key, s, bit, params: TFHEParams, engine) -> jnp.ndarray:
+    """Scalar Binary item type (trgsw.rs:250-262)."""
+    return encrypt_int(key, s, jnp.asarray(bit).astype(I32), params, engine)
+
+
+def decrypt_binary(rep, s, params: TFHEParams, engine) -> jnp.ndarray:
+    return (decrypt_int(rep, s, params, engine) != 0).astype(U32)
+
+
 def decompose_trlwe(ct, params: TFHEParams) -> jnp.ndarray:
     """Gadget-decompose a TRLWE pair into the 2L digit polynomials.
 

@@ -102,3 +102,25 @@ def test_cmux_batched(rng):
     out = trgsw.cmux(prepared, ct1, ct0, p, engine)
     dec = trlwe.decrypt_binary_poly(out, s, p, engine)
     assert np.array_equal(np.asarray(dec), np.asarray(bits1))
+
+
+def test_round_trip_item_types(rng):
+    # All reference-supported TRGSW item types (trgsw.rs:17-21).
+    p = TEST_PARAMS
+    engine = get_engine("matmul")
+    s, k = _keys(rng, p)
+
+    bits = binary_array(jax.random.fold_in(k, 2), (p.N,))
+    rep = trgsw.encrypt_binary_poly(jax.random.fold_in(k, 3), s, bits, p, engine)
+    res = trgsw.decrypt_binary_poly(rep, s, p, engine)
+    assert np.array_equal(np.asarray(res), np.asarray(bits))
+
+    pol_u = jnp.asarray((np.arange(p.N) % 7).astype(np.uint32))
+    rep = trgsw.encrypt_uint_poly(jax.random.fold_in(k, 4), s, pol_u, p, engine)
+    res = trgsw.decrypt_uint_poly(rep, s, p, engine)
+    assert np.array_equal(np.asarray(res), np.asarray(pol_u))
+
+    rep = trgsw.encrypt_binary(jax.random.fold_in(k, 5), s, 1, p, engine)
+    assert int(np.asarray(trgsw.decrypt_binary(rep, s, p, engine))) == 1
+    rep = trgsw.encrypt_binary(jax.random.fold_in(k, 6), s, 0, p, engine)
+    assert int(np.asarray(trgsw.decrypt_binary(rep, s, p, engine))) == 0
