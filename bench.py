@@ -29,9 +29,12 @@ BASELINE_GATES_PER_SEC = 1e9 / 30_558_481.0  # 32.72
 def main():
     from rustfhe_tpu import gates, keys, tlwe
     from rustfhe_tpu.engine import select_fast_engine
-    from rustfhe_tpu.params import DEFAULT_PARAMS as p
+    from rustfhe_tpu.params import DEFAULT_PARAMS, N2048_PARAMS
 
-    batch = int(os.environ.get("BENCH_BATCH", "4096"))
+    p = {"default": DEFAULT_PARAMS, "n2048": N2048_PARAMS}[
+        os.environ.get("BENCH_PARAMS", "default")
+    ]
+    batch = int(os.environ.get("BENCH_BATCH", "8192"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
 
     dev = jax.devices()[0]
