@@ -32,23 +32,25 @@ U32 = jnp.uint32
 TM = 128  # circulant panel row count (power of two)
 
 
-def _build_w0(qc, tm: int):
-    """qc: (R, 2N) int8 -> W: (R*tm, 2N) with W[g*tm+r, u] = qc[g, (u-r) mod 2N].
+def _build_w0_row(qrow, tm: int):
+    """qrow: (1, 2N) int8 -> W: (tm, 2N) with W[r, u] = qrow[(u-r) mod 2N].
 
     log2(tm) stages: stage k rolls by 2^k along the lane axis and selects
-    rows whose index bit k is set — pure vector ops.
+    rows whose index bit k is set — pure vector ops, small VMEM footprint
+    (built one row-group at a time to stay under the scoped-vmem limit).
     """
-    rows, two_n = qc.shape
-    # repeat each row tm times via broadcast+reshape (Mosaic-friendly)
-    w = jnp.broadcast_to(qc[:, None, :], (rows, tm, two_n)).reshape(rows * tm, two_n)
-    ridx = jax.lax.broadcasted_iota(I32, (rows * tm, 1), 0) & (tm - 1)
+    two_n = qrow.shape[-1]
+    # Build in int32: Mosaic's int8 roll lowering lacks the scalar
+    # broadcast it needs; int32 is the native lane width.
+    w = jnp.broadcast_to(qrow.reshape(1, two_n), (tm, two_n)).astype(I32)
+    ridx = jax.lax.broadcasted_iota(I32, (tm, 1), 0)
     k = 0
     while (1 << k) < tm:
         rolled = jnp.roll(w, 1 << k, axis=1)
         bit = ((ridx >> k) & 1) == 1
         w = jnp.where(bit, rolled, w)
         k += 1
-    return w
+    return w.astype(I8)
 
 
 def _kernel(q_ref, d_ref, o_ref, w_ref, *, params, num_limbs, limb_bits, tb, tn):
@@ -60,9 +62,10 @@ def _kernel(q_ref, d_ref, o_ref, w_ref, *, params, num_limbs, limb_bits, tb, tn)
 
     @pl.when((b == 0) & (nn == 0))
     def _():
-        w = _build_w0(q_ref[0], TM)  # (rows*TM, 2N)
-        w_ref[:, :two_n] = w
-        w_ref[:, two_n:] = w[:, :tn]
+        for g in range(rows):
+            w = _build_w0_row(q_ref[0, g : g + 1, :], TM)  # (TM, 2N)
+            w_ref[g * TM : (g + 1) * TM, :two_n] = w
+            w_ref[g * TM : (g + 1) * TM, two_n:] = w[:, :tn]
 
     n0 = nn * tn
     acc = jnp.zeros((tb, tn), U32)
@@ -146,12 +149,8 @@ class PallasEngine:
         return q.reshape(q.shape[:-4] + (2,) + shape[-2:])
 
     def external_product_digits(self, prepared, digits, params):
-        B = digits.shape[0] if digits.ndim == 3 else None
-        d = digits.astype(I8)
-        if d.ndim == 3:
-            d = d.reshape(d.shape[0], -1)
-        else:
-            d = d.reshape(1, -1)
+        lead = digits.shape[:-2]  # any leading batch dims (possibly none)
+        d = digits.astype(I8).reshape((-1, 2 * params.l * params.N))
         pad = (-d.shape[0]) % self.tb
         if pad:
             d = jnp.pad(d, ((0, pad), (0, 0)))
@@ -162,6 +161,4 @@ class PallasEngine:
         )
         if pad:
             out = out[: out.shape[0] - pad]
-        if B is None:
-            out = out[0]
-        return out
+        return out.reshape(lead + (2, params.N))

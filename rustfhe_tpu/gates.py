@@ -69,11 +69,19 @@ def hom_not(ck: CloudKey, x, *, params: TFHEParams, engine_name: str = "matmul")
 
 @partial(jax.jit, static_argnames=("params", "engine_name"))
 def hom_mux(ck: CloudKey, control, in0, in1, *, params: TFHEParams, engine_name: str = "matmul"):
-    """(in1 & control) | (in0 & !control), 3 bootstraps (tfhe.rs:27-40)."""
+    """(in1 & control) | (in0 & !control), 3 bootstraps (tfhe.rs:27-40).
+
+    The two ANDs are independent, so they are fused into ONE double-width
+    bootstrap batch (stacked on a new leading axis) — a mux costs two
+    bootstrap passes of latency, not three.
+    """
     engine = get_engine(engine_name)
-    i1 = hom_and(ck, control, in1, params=params, engine_name=engine_name)
-    i0 = hom_and(ck, tlwe.neg(control), in0, params=params, engine_name=engine_name)
-    pre = (i1 + i0 + _mu_trivial(params)).astype(U32)
+    mu = _mu_trivial(params)
+    pre_a = ((control + in1) - mu).astype(U32)
+    pre_b = ((tlwe.neg(control) + in0) - mu).astype(U32)
+    both = bootstrap(jnp.stack([pre_a, pre_b]), ck, params, engine)
+    i1, i0 = both[0], both[1]
+    pre = (i1 + i0 + mu).astype(U32)
     return bootstrap(pre, ck, params, engine)
 
 

@@ -128,3 +128,23 @@ def test_rotate_binary_matches_rotate():
         np.asarray(poly.rotate_binary(q, ms)),
         np.asarray(poly.rotate(q, ms)),
     )
+
+
+def test_pallas_engine_interpret_exact():
+    # Fused Pallas step (interpret mode) vs the XLA matmul engine: exact.
+    from rustfhe_tpu.engine.pallas_step import PallasEngine
+    from rustfhe_tpu.engine import get_engine as _ge
+
+    params = TFHEParams(n=8, N=1024)
+    rs = np.random.RandomState(11)
+    rows = jnp.asarray(
+        rs.randint(0, 2**32, size=(6, 2, params.N), dtype=np.uint64).astype(np.uint32)
+    )
+    digits = jnp.asarray(
+        rs.randint(-params.half_bg, params.half_bg, size=(256, 6, params.N)).astype(np.int32)
+    )
+    m = _ge("matmul")
+    want = m.external_product_digits(m.prepare_trgsw(rows, params), digits, params)
+    pe = PallasEngine(interpret=True)
+    got = pe.external_product_digits(pe.prepare_trgsw(rows, params), digits, params)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
