@@ -73,21 +73,24 @@ register_engine("oracle", OracleEngine())
 register_engine("matmul", MatmulEngine())
 register_engine("matmul_bf16", MatmulEngine(limb_bits=4, use_bf16=True))
 
+from .pallas_step import PallasEngine  # noqa: E402
 
-def select_fast_engine() -> str:
-    """Pick the fastest engine whose matmul path is exact on this backend.
+register_engine("pallas", PallasEngine(tb=256))
 
-    The int8 engine relies on the backend computing s8 x s8 -> s32 dot
-    products exactly (native on TPU MXU).  This probes a small external
-    product on the default device against the host oracle; if the backend
-    miscomputes it (e.g. silently via a low-precision float path), fall back
-    to the bf16 engine whose accumulations are provably exact in f32.
+
+def select_fast_engine(params=None) -> str:
+    """Pick the fastest engine whose external product is exact on this backend.
+
+    Candidates are probed in descending measured-speed order against the
+    naive mod-2^32 oracle ON DEVICE (the int8 MXU path and the fused Pallas
+    kernel must both produce exact results or they are skipped; the bf16
+    engine's accumulations are provably exact in f32 and is the fallback).
     """
     import numpy as np
 
-    from ..params import TFHEParams
+    from ..params import DEFAULT_PARAMS
 
-    params = TFHEParams(n=4, N=64)
+    params = params or DEFAULT_PARAMS
     rs = np.random.RandomState(1234)
     rows = jnp.asarray(
         rs.randint(0, 2**32, size=(2 * params.l, 2, params.N), dtype=np.uint64).astype(np.uint32)
@@ -101,11 +104,16 @@ def select_fast_engine() -> str:
     want = np.asarray(
         oracle.external_product_digits(oracle.prepare_trgsw(rows, params), digits, params)
     )
-    for name in ("matmul", "matmul_bf16"):
-        eng = get_engine(name)
-        got = np.asarray(
-            eng.external_product_digits(eng.prepare_trgsw(rows, params), digits, params)
-        )
+    for name in ("pallas", "matmul", "matmul_bf16"):
+        if name == "pallas" and (params.N % 128 != 0 or jnp.ones(1).devices().pop().platform == "cpu"):
+            continue  # kernel needs N % 128 == 0 and a real TPU backend
+        try:
+            eng = get_engine(name)
+            got = np.asarray(
+                eng.external_product_digits(eng.prepare_trgsw(rows, params), digits, params)
+            )
+        except Exception:
+            continue
         if np.array_equal(got, want):
             return name
     raise RuntimeError("no engine computes the external product exactly on this backend")
