@@ -40,7 +40,7 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev.platform} {dev.device_kind}", file=sys.stderr)
 
-    engine_name = select_fast_engine()
+    engine_name = select_fast_engine(p)
     print(f"# engine: {engine_name}", file=sys.stderr)
 
     key = jax.random.PRNGKey(0)

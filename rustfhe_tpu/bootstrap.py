@@ -56,13 +56,19 @@ def blind_rotate(ct, bk_prepared, testvec, params: TFHEParams, engine) -> jnp.nd
     # scan over the n key bits; batch stays inside the step.
     a_steps = jnp.moveaxis(a_tilde, -1, 0)  # (n, ...)
 
-    def step(acc, xs):
-        bk_i, a_i = xs
-        rotated = poly.rotate_binary(acc, a_i[..., None])
-        diff = (rotated - acc).astype(U32)
-        digits = trgsw.decompose_trlwe(diff, params)
-        cross = engine.external_product_digits(bk_i, digits, params)
-        return (acc + cross).astype(U32), None
+    if getattr(engine, "fuse_step", False):
+        # Engine provides the whole CMux step as one fused kernel.
+        def step(acc, xs):
+            bk_i, a_i = xs
+            return engine.cmux_step(bk_i, acc, a_i, params), None
+    else:
+        def step(acc, xs):
+            bk_i, a_i = xs
+            rotated = poly.rotate_binary(acc, a_i[..., None])
+            diff = (rotated - acc).astype(U32)
+            digits = trgsw.decompose_trlwe(diff, params)
+            cross = engine.external_product_digits(bk_i, digits, params)
+            return (acc + cross).astype(U32), None
 
     acc, _ = jax.lax.scan(step, acc, (bk_prepared, a_steps))
     return acc

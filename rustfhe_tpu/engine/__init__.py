@@ -75,7 +75,7 @@ register_engine("matmul_bf16", MatmulEngine(limb_bits=4, use_bf16=True))
 
 from .pallas_step import PallasEngine  # noqa: E402
 
-register_engine("pallas", PallasEngine(tb=256))
+register_engine("pallas", PallasEngine(tb=128))
 
 
 def select_fast_engine(params=None) -> str:
@@ -105,8 +105,12 @@ def select_fast_engine(params=None) -> str:
         oracle.external_product_digits(oracle.prepare_trgsw(rows, params), digits, params)
     )
     for name in ("pallas", "matmul", "matmul_bf16"):
-        if name == "pallas" and (params.N % 128 != 0 or jnp.ones(1).devices().pop().platform == "cpu"):
-            continue  # kernel needs N % 128 == 0 and a real TPU backend
+        if name == "pallas" and (
+            params.N % 128 != 0
+            or params.N > 1024  # panel table must fit VMEM (~16 MB scoped)
+            or jnp.ones(1).devices().pop().platform == "cpu"
+        ):
+            continue  # kernel needs N % 128 == 0, N <= 1024, real TPU
         try:
             eng = get_engine(name)
             got = np.asarray(

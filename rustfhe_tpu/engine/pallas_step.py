@@ -128,13 +128,120 @@ def fused_external_product(digits_flat, panels, *, params, num_limbs=4, limb_bit
     return out.reshape(B, 2, N)
 
 
+def _roll_neg_static(x, s: int, N: int):
+    """x: (tb, N) u32 -> x * X^s for static s in [0, 2N): slice/concat/negate."""
+    s = s % (2 * N)
+    neg = s >= N
+    if neg:
+        s -= N
+    negate = lambda v: (~v + U32(1)).astype(U32)
+    if s == 0:
+        out = x
+    else:
+        out = jnp.concatenate([negate(x[:, N - s :]), x[:, : N - s]], axis=1)
+    return negate(out) if neg else out
+
+
+def _rotate_binary_inkernel(x, n_col, N: int):
+    """Per-row negacyclic rotation by n (in [0, 2N)): log2(2N) roll/select
+    stages, the in-kernel form of poly.rotate_binary."""
+    nbits = (2 * N - 1).bit_length()
+    out = x
+    for k in range(nbits):
+        bit = ((n_col >> k) & 1) == 1  # (tb, 1)
+        out = jnp.where(bit, _roll_neg_static(out, 1 << k, N), out)
+    return out
+
+
+def _kernel_fused(w_hbm, acc_ref, n_ref, o_ref, w_vmem, sem, *, params, num_limbs,
+                  limb_bits, tb):
+    """Whole CMux step for output poly half c: rotate, diff, decompose,
+    int8 dots, limb recombination, and acc + cross."""
+    c, b = pl.program_id(0), pl.program_id(1)
+    N = params.N
+    lvls = params.l
+    mask = U32(params.decomp_mask)
+    half = U32(params.half_bg)
+    digit_mask = U32(params.bg - 1)
+
+    @pl.when(b == 0)
+    def _():
+        cp = pltpu.make_async_copy(w_hbm.at[c], w_vmem, sem)
+        cp.start()
+        cp.wait()
+
+    n_col = n_ref[:, 0:1]  # (tb, 1) int32
+    accs = [acc_ref[:, p, :] for p in (0, 1)]  # u32 (tb, N) each
+    us = []
+    for p in (0, 1):
+        rot = _rotate_binary_inkernel(accs[p], n_col, N)
+        diff = (rot - accs[p]).astype(U32)
+        us.append((diff + mask) ^ mask)
+
+    acc_out = jnp.zeros((tb, N), U32)
+    for j in range(2 * lvls):
+        u = us[j // lvls]
+        shift = U32(32 - params.bgbit * ((j % lvls) + 1))
+        raw = (u >> shift) & digit_mask
+        dig = (raw + (raw & half) * U32(0xFFFFFFFE)).astype(I32).astype(I8)  # (tb, N)
+        for l in range(num_limbs):
+            r0 = (j * num_limbs + l) * TM
+            part = jnp.zeros((tb, N), I32)
+            for mb in range(N // TM):
+                d_blk = dig[:, mb * TM : (mb + 1) * TM]
+                col0 = (N - TM) - mb * TM
+                w_blk = w_vmem[r0 : r0 + TM, col0 : col0 + N]
+                part += jnp.dot(d_blk, w_blk, preferred_element_type=I32)
+            acc_out = acc_out + (part.astype(U32) << U32(limb_bits * l))
+    old = jnp.where(c == 0, accs[0], accs[1])
+    o_ref[:] = old + acc_out
+
+
+@functools.partial(jax.jit, static_argnames=("params", "num_limbs", "limb_bits", "tb", "interpret"))
+def fused_cmux_step(acc, a_tilde, panels, *, params, num_limbs=4, limb_bits=8,
+                    tb=256, interpret=False):
+    """One full blind-rotate step: acc (B, 2, N) u32, a_tilde (B,) int32 in
+    [0, 2N), panels from build_panels -> new acc (B, 2, N) u32."""
+    B = acc.shape[0]
+    N = params.N
+    rows = 2 * params.l * num_limbs * TM
+    width = 2 * N - TM
+    assert B % tb == 0
+
+    grid = (2, B // tb)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_fused, params=params, num_limbs=num_limbs, limb_bits=limb_bits, tb=tb
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 2 * N), U32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((tb, 2, N), lambda c, b: (b, 0, 0)),
+            pl.BlockSpec((tb, 1), lambda c, b: (b, 0)),
+        ],
+        out_specs=pl.BlockSpec((tb, N), lambda c, b: (b, c)),
+        scratch_shapes=[
+            pltpu.VMEM((rows, width), I8),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * 2 * params.l * N * 2 * num_limbs * N,
+            bytes_accessed=B * 2 * N * 4 * 2 + 2 * rows * width,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(panels, acc, a_tilde.astype(I32).reshape(B, 1))
+    return out.reshape(B, 2, N)
+
+
 class PallasEngine:
     """MatmulEngine-compatible engine with a fused Pallas external product.
 
     Key switch and torus-x-binary products reuse the XLA matmul paths.
     """
 
-    def __init__(self, interpret: bool = False, tb: int = 128):
+    def __init__(self, interpret: bool = False, tb: int = 128, fuse_step: bool = True):
         from .matmul import MatmulEngine
 
         self._base = MatmulEngine(limb_bits=8, use_bf16=False)
@@ -142,7 +249,27 @@ class PallasEngine:
         self.num_limbs = 4
         self.interpret = interpret
         self.tb = tb
+        self.fuse_step = fuse_step
         self.name = "pallas"
+
+    def cmux_step(self, prepared, acc, a_i, params):
+        """Fully fused blind-rotate step: acc (..., 2, N) u32, a_i (...,)
+        int32 in [0, 2N) -> CMux(bk, X^a * acc, acc)."""
+        lead = acc.shape[:-2]
+        a2 = acc.reshape((-1, 2, params.N))
+        n2 = a_i.reshape((-1,))
+        pad = (-a2.shape[0]) % self.tb
+        if pad:
+            a2 = jnp.pad(a2, ((0, pad), (0, 0), (0, 0)))
+            n2 = jnp.pad(n2, ((0, pad),))
+        panels = build_panels(prepared, params)
+        out = fused_cmux_step(
+            a2, n2, panels, params=params, num_limbs=self.num_limbs,
+            limb_bits=self.limb_bits, tb=self.tb, interpret=self.interpret,
+        )
+        if pad:
+            out = out[: out.shape[0] - pad]
+        return out.reshape(lead + (2, params.N))
 
     def prepare_ksk(self, ksk_raw, params):
         return self._base.prepare_ksk(ksk_raw, params)

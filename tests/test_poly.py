@@ -148,3 +148,33 @@ def test_pallas_engine_interpret_exact():
     pe = PallasEngine(interpret=True)
     got = pe.external_product_digits(pe.prepare_trgsw(rows, params), digits, params)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_fused_cmux_step_interpret_exact():
+    # The fully fused blind-rotate step (rotate+decompose+matmul+recombine+
+    # accumulate) vs the composed default path: exact.
+    from rustfhe_tpu import poly as rpoly, trgsw as rtrgsw
+    from rustfhe_tpu.engine import get_engine as _ge
+    from rustfhe_tpu.engine.pallas_step import PallasEngine
+
+    params = TFHEParams(n=8, N=1024)
+    rs = np.random.RandomState(17)
+    rows = jnp.asarray(
+        rs.randint(0, 2**32, size=(6, 2, params.N), dtype=np.uint64).astype(np.uint32)
+    )
+    acc = jnp.asarray(
+        rs.randint(0, 2**32, size=(128, 2, params.N), dtype=np.uint64).astype(np.uint32)
+    )
+    ai = jnp.asarray(rs.randint(0, 2 * params.N, size=(128,)).astype(np.int32))
+    m = _ge("matmul")
+    rot = rpoly.rotate_binary(acc, ai[:, None])
+    diff = (rot - acc).astype(U32)
+    want = (
+        acc
+        + m.external_product_digits(
+            m.prepare_trgsw(rows, params), rtrgsw.decompose_trlwe(diff, params), params
+        )
+    ).astype(U32)
+    pe = PallasEngine(interpret=True)
+    got = pe.cmux_step(pe.prepare_trgsw(rows, params), acc, ai, params)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
