@@ -10,19 +10,18 @@ The hot path (SURVEY.md §3.2).  TPU design decisions:
 * The entire bootstrap is one jit region: the reference crosses the
   Rust->C++ FFI boundary 8x per CMux; here there are zero host round trips.
 * Per-sample rotation amounts (each gate in the batch has its own a~_i) are
-  data-dependent gathers (``poly.rotate``), kept inside the scan body.
+  applied gather-free (``poly.rotate_binary``: log2(2N) static negacyclic
+  rolls + selects — dynamic gathers serialize on the TPU scalar core), or
+  fully inside the engine's fused step kernel when it provides one.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 from . import poly, tlwe, trgsw, trlwe
 from .decomp import decompose_unsigned
-from .engine import get_engine
 from .keys import CloudKey
 from .params import TFHEParams
 

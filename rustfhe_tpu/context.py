@@ -11,12 +11,11 @@ import jax
 import jax.numpy as jnp
 
 from . import gates, tlwe
-from .engine import get_engine
+
 from .keys import CloudKey, SecretKey, gen_keys
 from .params import DEFAULT_PARAMS, TFHEParams
 
 U32 = jnp.uint32
-
 
 class TFHE:
     """Keyed TFHE evaluator.

@@ -27,9 +27,6 @@ blind-rotate step then does all the work on the MXU.
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 
 from ..poly import to_signed_limbs

@@ -17,14 +17,13 @@ HBM — SURVEY.md §7 "Hard parts" 5).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import tlwe, trlwe
-from ..bootstrap import blind_rotate, gate_bootstrapping_tlwe2tlwe
+from ..bootstrap import blind_rotate
 from ..decomp import decompose_unsigned
 from ..engine import get_engine
 from ..keys import CloudKey
