@@ -113,35 +113,50 @@ def evaluate_plain(circuit: Circuit, inputs: np.ndarray) -> np.ndarray:
     return np.stack([wires[w] for w in circuit.outputs], axis=-1)
 
 
+def _bucket(k: int) -> int:
+    """Round a per-level gate count up to a power of two so the jitted gate
+    programs are reused across levels instead of recompiling per width."""
+    return 1 << (k - 1).bit_length() if k > 1 else 1
+
+
 def evaluate_encrypted(circuit: Circuit, ctx, ct_inputs) -> jnp.ndarray:
     """Levelized batched FHE evaluation.
 
     ``ct_inputs``: TLWE batch of shape (n_inputs, n+1) (or (..., n_inputs,
     n+1) with extra leading batch axes — every gate then evaluates the whole
     leading batch too).  Within each level, all gates of one type are
-    evaluated in a single batched bootstrapping call.
+    evaluated in a single batched bootstrapping call, padded to power-of-two
+    widths so XLA compiles one program per (op, width-bucket).
     """
     wires: dict[int, jnp.ndarray] = {
         w: ct_inputs[..., w, :] for w in range(circuit.n_inputs)
     }
+
+    def stacked(ws):
+        cts = [wires[w] for w in ws]
+        k = len(cts)
+        pad = _bucket(k) - k
+        cts = cts + [cts[0]] * pad  # padding lanes are dummies, ignored below
+        return jnp.stack(cts, axis=-2)
+
     for layer in circuit.levelize():
         by_op: dict[str, list[Gate]] = {}
         for g in layer:
             by_op.setdefault(g.op, []).append(g)
         for op, gs in by_op.items():
             if op in _OPS2:
-                xs = jnp.stack([wires[g.inputs[0]] for g in gs], axis=-2)
-                ys = jnp.stack([wires[g.inputs[1]] for g in gs], axis=-2)
+                xs = stacked([g.inputs[0] for g in gs])
+                ys = stacked([g.inputs[1] for g in gs])
                 method = {"nand": ctx.nand, "and": ctx.and_, "or": ctx.or_, "xor": ctx.xor}[op]
                 outs = method(xs, ys)
             elif op == "not":
-                xs = jnp.stack([wires[g.inputs[0]] for g in gs], axis=-2)
-                outs = ctx.not_(xs)
+                outs = ctx.not_(stacked([g.inputs[0] for g in gs]))
             elif op == "mux":
-                cs = jnp.stack([wires[g.inputs[0]] for g in gs], axis=-2)
-                i0 = jnp.stack([wires[g.inputs[1]] for g in gs], axis=-2)
-                i1 = jnp.stack([wires[g.inputs[2]] for g in gs], axis=-2)
-                outs = ctx.mux(cs, i0, i1)
+                outs = ctx.mux(
+                    stacked([g.inputs[0] for g in gs]),
+                    stacked([g.inputs[1] for g in gs]),
+                    stacked([g.inputs[2] for g in gs]),
+                )
             else:
                 raise ValueError(op)
             for j, g in enumerate(gs):
