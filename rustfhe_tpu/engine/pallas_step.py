@@ -34,10 +34,10 @@ I8 = jnp.int8
 I32 = jnp.int32
 U32 = jnp.uint32
 
-TM = 128  # contraction panel rows
+TM = 128  # default contraction panel rows
 
 
-def build_panels(qd, params):
+def build_panels(qd, params, tm: int = TM):
     """qd: int8 (2, R, 2N) -> W': int8 (2, R*TM, N - TM + N).
 
     W'[c, g*TM + r, u] = qd[c, g, (u - (N-TM) - r) mod 2N]: for output
@@ -52,15 +52,15 @@ def build_panels(qd, params):
     two_n = 2 * N
     lead = qd.shape[:-1]  # (2, R)
     qq = jnp.concatenate([qd, qd], axis=-1)  # (2, R, 4N)
-    t = jnp.tile(qq, (1,) * len(lead) + (TM,))  # (2, R, TM*4N)
-    t = t[..., : TM * (2 * two_n - 1)].reshape(lead + (TM, 2 * two_n - 1))
+    t = jnp.tile(qq, (1,) * len(lead) + (tm,))  # (2, R, tm*4N)
+    t = t[..., : tm * (2 * two_n - 1)].reshape(lead + (tm, 2 * two_n - 1))
     # t[c, g, r, i] = q[c, g, (i - r) mod 2N]; columns [2N - TM + ... pick
     # phase (N - TM): col u needs (u - (N-TM) - r) mod 2N = t col i with
     # i = u + (N - TM) + (2N - 2(N-TM))... i.e. i = u - (N-TM) mod 4N: use
     # i = u + N + TM (adds one 2N period to keep i >= 0 for all u, r).
-    width = 2 * N - TM
-    w = t[..., N + TM : N + TM + width]
-    return w.reshape(lead[:-1] + (lead[-1] * TM, width))
+    width = 2 * N - tm
+    w = t[..., N + tm : N + tm + width]
+    return w.reshape(lead[:-1] + (lead[-1] * tm, width))
 
 
 def _kernel(w_hbm, d_ref, o_ref, w_vmem, sem, *, params, num_limbs, limb_bits, tb):
@@ -154,7 +154,7 @@ def _rotate_binary_inkernel(x, n_col, N: int):
 
 
 def _kernel_fused(w_hbm, acc_ref, n_ref, o_ref, w_vmem, sem, *, params, num_limbs,
-                  limb_bits, tb):
+                  limb_bits, tb, tm):
     """Whole CMux step for output poly half c: rotate, diff, decompose,
     int8 dots, limb recombination, and acc + cross."""
     c, b = pl.program_id(0), pl.program_id(1)
@@ -185,33 +185,34 @@ def _kernel_fused(w_hbm, acc_ref, n_ref, o_ref, w_vmem, sem, *, params, num_limb
         raw = (u >> shift) & digit_mask
         dig = (raw + (raw & half) * U32(0xFFFFFFFE)).astype(I32).astype(I8)  # (tb, N)
         for l in range(num_limbs):
-            r0 = (j * num_limbs + l) * TM
+            r0 = (j * num_limbs + l) * tm
             part = jnp.zeros((tb, N), I32)
-            for mb in range(N // TM):
-                d_blk = dig[:, mb * TM : (mb + 1) * TM]
-                col0 = (N - TM) - mb * TM
-                w_blk = w_vmem[r0 : r0 + TM, col0 : col0 + N]
+            for mb in range(N // tm):
+                d_blk = dig[:, mb * tm : (mb + 1) * tm]
+                col0 = (N - tm) - mb * tm
+                w_blk = w_vmem[r0 : r0 + tm, col0 : col0 + N]
                 part += jnp.dot(d_blk, w_blk, preferred_element_type=I32)
             acc_out = acc_out + (part.astype(U32) << U32(limb_bits * l))
     old = jnp.where(c == 0, accs[0], accs[1])
     o_ref[:] = old + acc_out
 
 
-@functools.partial(jax.jit, static_argnames=("params", "num_limbs", "limb_bits", "tb", "interpret"))
+@functools.partial(jax.jit, static_argnames=("params", "num_limbs", "limb_bits", "tb", "tm", "interpret"))
 def fused_cmux_step(acc, a_tilde, panels, *, params, num_limbs=4, limb_bits=8,
-                    tb=256, interpret=False):
+                    tb=256, tm=TM, interpret=False):
     """One full blind-rotate step: acc (B, 2, N) u32, a_tilde (B,) int32 in
     [0, 2N), panels from build_panels -> new acc (B, 2, N) u32."""
     B = acc.shape[0]
     N = params.N
-    rows = 2 * params.l * num_limbs * TM
-    width = 2 * N - TM
+    rows = 2 * params.l * num_limbs * tm
+    width = 2 * N - tm
     assert B % tb == 0
 
     grid = (2, B // tb)
     out = pl.pallas_call(
         functools.partial(
-            _kernel_fused, params=params, num_limbs=num_limbs, limb_bits=limb_bits, tb=tb
+            _kernel_fused, params=params, num_limbs=num_limbs, limb_bits=limb_bits,
+            tb=tb, tm=tm
         ),
         out_shape=jax.ShapeDtypeStruct((B, 2 * N), U32),
         grid=grid,
@@ -241,7 +242,8 @@ class PallasEngine:
     Key switch and torus-x-binary products reuse the XLA matmul paths.
     """
 
-    def __init__(self, interpret: bool = False, tb: int = 128, fuse_step: bool = True):
+    def __init__(self, interpret: bool = False, tb: int = 128, fuse_step: bool = True,
+                 tm: int = TM):
         from .matmul import MatmulEngine
 
         self._base = MatmulEngine(limb_bits=8, use_bf16=False)
@@ -249,6 +251,7 @@ class PallasEngine:
         self.num_limbs = 4
         self.interpret = interpret
         self.tb = tb
+        self.tm = tm
         self.fuse_step = fuse_step
         self.name = "pallas"
 
@@ -262,10 +265,11 @@ class PallasEngine:
         if pad:
             a2 = jnp.pad(a2, ((0, pad), (0, 0), (0, 0)))
             n2 = jnp.pad(n2, ((0, pad),))
-        panels = build_panels(prepared, params)
+        panels = build_panels(prepared, params, self.tm)
         out = fused_cmux_step(
             a2, n2, panels, params=params, num_limbs=self.num_limbs,
-            limb_bits=self.limb_bits, tb=self.tb, interpret=self.interpret,
+            limb_bits=self.limb_bits, tb=self.tb, tm=self.tm,
+            interpret=self.interpret,
         )
         if pad:
             out = out[: out.shape[0] - pad]
