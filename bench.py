@@ -29,9 +29,9 @@ BASELINE_GATES_PER_SEC = 1e9 / 30_558_481.0  # 32.72
 def main():
     from rustfhe_tpu import gates, keys, tlwe
     from rustfhe_tpu.engine import select_fast_engine
-    from rustfhe_tpu.params import DEFAULT_PARAMS, N2048_PARAMS
+    from rustfhe_tpu.params import DEFAULT_PARAMS, FAST_PARAMS, N2048_PARAMS
 
-    p = {"default": DEFAULT_PARAMS, "n2048": N2048_PARAMS}[
+    p = {"default": DEFAULT_PARAMS, "n2048": N2048_PARAMS, "fast": FAST_PARAMS}[
         os.environ.get("BENCH_PARAMS", "default")
     ]
     batch = int(os.environ.get("BENCH_BATCH", "8192"))

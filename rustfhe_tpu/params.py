@@ -138,3 +138,14 @@ N2048_PARAMS = TFHEParams(
     N=2048,
     alpha_lv1=2.0 ** -26,
 )
+
+# Speed preset: same lattice dimensions and total decomposition precision
+# (l*bgbit = 16 bits, same as the default 3x6=18ish class), but 2 gadget
+# levels of base 2^8 instead of 3 of 2^6 — 2L goes 6 -> 4, cutting the
+# external product's MXU work by 1.5x.  Digits lie in [-128, 127] and
+# still fit int8 exactly.  Noise margin verified experimentally
+# (tests/test_params_sweep.py, TPU bench config "fast").
+FAST_PARAMS = TFHEParams(
+    bgbit=8,
+    l=2,
+)

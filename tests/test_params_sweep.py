@@ -21,6 +21,8 @@ U32 = jnp.uint32
         TFHEParams(n=12, N=64, alpha_lv0=2.0**-20, alpha_lv1=2.0**-28, bgbit=8, l=2),
         # iks variations: basebit 4, 4 levels
         TFHEParams(n=12, N=64, alpha_lv0=2.0**-20, alpha_lv1=2.0**-28, iks_basebit=4, iks_l=4),
+        # the FAST preset's gadget shape at production noise levels
+        TFHEParams(n=64, N=256, bgbit=8, l=2),
     ],
 )
 def test_nand_truth_table_across_params(p):
