@@ -139,12 +139,17 @@ N2048_PARAMS = TFHEParams(
     alpha_lv1=2.0 ** -26,
 )
 
-# Speed preset: same lattice dimensions and total decomposition precision
-# (l*bgbit = 16 bits, same as the default 3x6=18ish class), but 2 gadget
-# levels of base 2^8 instead of 3 of 2^6 — 2L goes 6 -> 4, cutting the
-# external product's MXU work by 1.5x.  Digits lie in [-128, 127] and
-# still fit int8 exactly.  Noise margin verified experimentally
-# (tests/test_params_sweep.py, TPU bench config "fast").
+# EXPERIMENTAL speed preset: 2 gadget levels of base 2^8 instead of 3 of
+# 2^6 — 2L goes 6 -> 4, cutting the external product's MXU work by 1.5x
+# while digits still fit int8.  UNSOUND at the default n=635/N=1024
+# dimensions: the 16-bit gadget (vs the default 18) leaves a decomposition
+# rounding error eps = 2^-17 that dominates per-step noise
+# (~(1+N)*eps^2 + 2lN(Bg/2)^2*alpha_lv1^2 ~= 2^-23.9/step, x635 steps
+# -> sigma ~0.02 vs the 1/16 margin ~= 3 sigma), measured on TPU
+# 2026-08-18 as 12/8192 wrong NAND outputs.  Lowering alpha cannot fix a
+# decomposition-dominated budget, and l=2 with bgbit=9 (18 bits) needs
+# +-256 digits, which break the int8 MXU path.  Kept for small-n circuits
+# (passes at n<=64; tests/test_params_sweep.py) — not a production preset.
 FAST_PARAMS = TFHEParams(
     bgbit=8,
     l=2,
