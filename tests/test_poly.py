@@ -175,6 +175,10 @@ def test_pallas_fused_cmux_step_interpret_exact():
             m.prepare_trgsw(rows, params), rtrgsw.decompose_trlwe(diff, params), params
         )
     ).astype(U32)
-    pe = PallasEngine(interpret=True)
+    pe = PallasEngine(interpret=True, merge_c=False)
     got = pe.cmux_step(pe.prepare_trgsw(rows, params), acc, ai, params)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+    # c-merged variant (both output halves in one program): also exact.
+    pm = PallasEngine(interpret=True, merge_c=True)
+    got_m = pm.cmux_step(pm.prepare_trgsw(rows, params), acc, ai, params)
+    assert np.array_equal(np.asarray(got_m), np.asarray(want))
