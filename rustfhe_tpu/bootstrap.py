@@ -55,6 +55,12 @@ def blind_rotate(ct, bk_prepared, testvec, params: TFHEParams, engine) -> jnp.nd
     # scan over the n key bits; batch stays inside the step.
     a_steps = jnp.moveaxis(a_tilde, -1, 0)  # (n, ...)
 
+    # Engines may keep the scan carry in a private layout (e.g. the
+    # Karatsuba engine's even/odd split) — one conversion at entry/exit.
+    enter = getattr(engine, "scan_enter", None)
+    if enter is not None:
+        acc = enter(acc, params)
+
     if getattr(engine, "fuse_step", False):
         # Engine provides the whole CMux step as one fused kernel.
         def step(acc, xs):
@@ -70,6 +76,10 @@ def blind_rotate(ct, bk_prepared, testvec, params: TFHEParams, engine) -> jnp.nd
             return (acc + cross).astype(U32), None
 
     acc, _ = jax.lax.scan(step, acc, (bk_prepared, a_steps))
+
+    exit_ = getattr(engine, "scan_exit", None)
+    if exit_ is not None:
+        acc = exit_(acc, params)
     return acc
 
 

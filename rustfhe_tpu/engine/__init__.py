@@ -74,8 +74,10 @@ register_engine("matmul", MatmulEngine())
 register_engine("matmul_bf16", MatmulEngine(limb_bits=4, use_bf16=True))
 
 from .pallas_step import PallasEngine  # noqa: E402
+from .pallas_k import PallasKaratsubaEngine  # noqa: E402
 
 register_engine("pallas", PallasEngine(tb=128))
+register_engine("pallas_k", PallasKaratsubaEngine(tb=128))
 
 
 def select_fast_engine(params=None) -> str:
@@ -104,11 +106,18 @@ def select_fast_engine(params=None) -> str:
     want = np.asarray(
         oracle.external_product_digits(oracle.prepare_trgsw(rows, params), digits, params)
     )
-    for name in ("pallas", "matmul", "matmul_bf16"):
+    on_cpu = jnp.ones(1).devices().pop().platform == "cpu"
+    for name in ("pallas_k", "pallas", "matmul", "matmul_bf16"):
+        if name == "pallas_k" and (
+            params.N % 256 != 0  # half-size contraction must tile by 128
+            or params.N > 2048  # panel table must fit raised VMEM cap
+            or on_cpu
+        ):
+            continue
         if name == "pallas" and (
             params.N % 128 != 0
             or params.N > 1024  # panel table must fit VMEM (~16 MB scoped)
-            or jnp.ones(1).devices().pop().platform == "cpu"
+            or on_cpu
         ):
             continue  # kernel needs N % 128 == 0, N <= 1024, real TPU
         try:

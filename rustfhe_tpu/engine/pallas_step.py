@@ -76,8 +76,13 @@ def build_panels(qd, params, tm: int = TM):
     return w.reshape(lead[:-1] + (lead[-1] * tm, width))
 
 
-def build_panels_fast(qd, params, tm: int = TM):
-    """Same output as build_panels, built by log-doubling instead of tile.
+def build_panels_doubling(qd, n: int, tm: int = TM):
+    """Margin-extended panel table for polynomials of degree ``n``, built by
+    log-doubling instead of tile.
+
+    ``qd``: int8 (..., R, 2n) doubled negacyclic tables ->
+    W': int8 (..., R*tm, 2n - tm) with
+    W'[..., g*tm + r, u] = qd[..., g, (u - (n - tm) - r) mod 2n].
 
     ``jnp.tile``'s concatenate-of-tm-copies costs ~0.5 ms/step at tm=128 in
     the blind-rotate scan (measured, BENCH.md); the doubling construction
@@ -85,24 +90,28 @@ def build_panels_fast(qd, params, tm: int = TM):
 
       S_0[g, 0, u] = qq[g, u];  S_{k+1} = concat([S_k, roll(S_k, 2^k)], rows)
 
-    so S_log2(tm)[g, r, u] = qq[g, (u - r) mod 4N], and one static column
-    slice yields W'[c, g*tm + r, u] = qd[c, g, (u - (N - tm) - r) mod 2N]
-    (qq = [qd, qd] makes the 4N roll congruent to the 2N period).
+    so S_log2(tm)[g, r, u] = qq[g, (u - r) mod 4n], and one static column
+    slice yields the panel (qq = [qd, qd] makes the 4n roll congruent to the
+    2n period).
     """
-    N = params.N
     assert tm & (tm - 1) == 0, "tm must be a power of two"
-    lead = qd.shape[:-1]  # (2, R)
-    qq = jnp.concatenate([qd, qd], axis=-1)  # (..., 4N)
-    s = qq[..., None, :]  # (..., 1, 4N)
+    lead = qd.shape[:-1]  # (..., R)
+    qq = jnp.concatenate([qd, qd], axis=-1)  # (..., 4n)
+    s = qq[..., None, :]  # (..., 1, 4n)
     k = 1
     while k < tm:
         s = jnp.concatenate([s, jnp.roll(s, k, axis=-1)], axis=-2)
         k *= 2
-    # s[..., r, i] = qq[..., (i - r) mod 4N]; column u of W' needs index
-    # (u - (N - tm) - r) mod 2N -> i = u + N + tm (one 2N period up).
-    width = 2 * N - tm
-    w = s[..., N + tm : N + tm + width]
+    # s[..., r, i] = qq[..., (i - r) mod 4n]; column u of W' needs index
+    # (u - (n - tm) - r) mod 2n -> i = u + n + tm (one 2n period up).
+    width = 2 * n - tm
+    w = s[..., n + tm : n + tm + width]
     return w.reshape(lead[:-1] + (lead[-1] * tm, width))
+
+
+def build_panels_fast(qd, params, tm: int = TM):
+    """build_panels built by log-doubling (see build_panels_doubling)."""
+    return build_panels_doubling(qd, params.N, tm)
 
 
 def _kernel(w_hbm, d_ref, o_ref, w_vmem, sem, *, params, num_limbs, limb_bits, tb):
@@ -311,19 +320,24 @@ def _kernel_merged(w_hbm, acc_ref, n_ref, o_ref, w_vmem, sem, *, params,
             raw = (u >> shift) & digit_mask
             digs.append((raw + (raw & half) * U32(0xFFFFFFFE)).astype(I32).astype(I8))
 
+    # Limb-outer accumulation: sum the 2L digit-plane convolutions in int32
+    # FIRST (|sum| <= 2L*N*(Bg/2)*2^(limb_bits-1) ~= 2^24.6, exact), then do
+    # ONE wrapping shift-add per (c, limb) — 8 full-width VPU recombine
+    # passes per step instead of 48 (mod-2^32 shift-add distributes over the
+    # int32->u32 cast).
     for c in (0, 1):
         acc_out = jnp.zeros((tb, N), U32)
-        for j in range(2 * lvls):
-            dig = digs[j]
-            for l in range(num_limbs):
+        for l in range(num_limbs):
+            part = jnp.zeros((tb, N), I32)
+            for j in range(2 * lvls):
+                dig = digs[j]
                 r0 = (j * num_limbs + l) * tm
-                part = jnp.zeros((tb, N), I32)
                 for mb in range(N // tm):
                     d_blk = dig[:, mb * tm : (mb + 1) * tm]
                     col0 = (N - tm) - mb * tm
                     w_blk = w_vmem[c, r0 : r0 + tm, col0 : col0 + N]
                     part += jnp.dot(d_blk, w_blk, preferred_element_type=I32)
-                acc_out = acc_out + (part.astype(U32) << U32(limb_bits * l))
+            acc_out = acc_out + (part.astype(U32) << U32(limb_bits * l))
         o_ref[:, c, :] = accs[c] + acc_out
 
 

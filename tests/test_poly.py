@@ -182,3 +182,69 @@ def test_pallas_fused_cmux_step_interpret_exact():
     pm = PallasEngine(interpret=True, merge_c=True)
     got_m = pm.cmux_step(pm.prepare_trgsw(rows, params), acc, ai, params)
     assert np.array_equal(np.asarray(got_m), np.asarray(want))
+
+
+def test_pallas_k_scan_layout_roundtrip():
+    from rustfhe_tpu.engine.pallas_k import PallasKaratsubaEngine
+
+    params = TFHEParams(n=8, N=1024)
+    rs = np.random.RandomState(3)
+    acc = jnp.asarray(
+        rs.randint(0, 2**32, size=(5, 2, params.N), dtype=np.uint64).astype(np.uint32)
+    )
+    ke = PallasKaratsubaEngine(interpret=True)
+    flat = ke.scan_enter(acc, params)
+    assert flat.shape == (5, 2 * params.N)
+    back = ke.scan_exit(flat, params)
+    assert np.array_equal(np.asarray(back), np.asarray(acc))
+
+
+def test_pallas_k_extprod_interpret_exact():
+    # Karatsuba even/odd fused external product (interpret) vs matmul: exact.
+    from rustfhe_tpu.engine import get_engine as _ge
+    from rustfhe_tpu.engine.pallas_k import PallasKaratsubaEngine
+
+    params = TFHEParams(n=8, N=1024)
+    rs = np.random.RandomState(23)
+    rows = jnp.asarray(
+        rs.randint(0, 2**32, size=(6, 2, params.N), dtype=np.uint64).astype(np.uint32)
+    )
+    digits = jnp.asarray(
+        rs.randint(-params.half_bg, params.half_bg, size=(256, 6, params.N)).astype(np.int32)
+    )
+    m = _ge("matmul")
+    want = m.external_product_digits(m.prepare_trgsw(rows, params), digits, params)
+    ke = PallasKaratsubaEngine(interpret=True)
+    got = ke.external_product_digits(ke.prepare_trgsw(rows, params), digits, params)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_k_cmux_step_interpret_exact():
+    # Fused Karatsuba CMux step in e/o layout vs the composed default path.
+    from rustfhe_tpu import poly as rpoly, trgsw as rtrgsw
+    from rustfhe_tpu.engine import get_engine as _ge
+    from rustfhe_tpu.engine.pallas_k import PallasKaratsubaEngine
+
+    params = TFHEParams(n=8, N=1024)
+    rs = np.random.RandomState(29)
+    rows = jnp.asarray(
+        rs.randint(0, 2**32, size=(6, 2, params.N), dtype=np.uint64).astype(np.uint32)
+    )
+    acc = jnp.asarray(
+        rs.randint(0, 2**32, size=(128, 2, params.N), dtype=np.uint64).astype(np.uint32)
+    )
+    ai = jnp.asarray(rs.randint(0, 2 * params.N, size=(128,)).astype(np.int32))
+    m = _ge("matmul")
+    rot = rpoly.rotate_binary(acc, ai[:, None])
+    diff = (rot - acc).astype(U32)
+    want = (
+        acc
+        + m.external_product_digits(
+            m.prepare_trgsw(rows, params), rtrgsw.decompose_trlwe(diff, params), params
+        )
+    ).astype(U32)
+    ke = PallasKaratsubaEngine(interpret=True)
+    flat = ke.scan_enter(acc, params)
+    got_flat = ke.cmux_step(ke.prepare_trgsw(rows, params), flat, ai, params)
+    got = ke.scan_exit(got_flat, params)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
