@@ -77,7 +77,8 @@ from .pallas_step import PallasEngine  # noqa: E402
 from .pallas_k import PallasKaratsubaEngine  # noqa: E402
 
 register_engine("pallas", PallasEngine(tb=128))
-register_engine("pallas_k", PallasKaratsubaEngine(tb=128))
+register_engine("pallas_k", PallasKaratsubaEngine(tb=128, levels=1))
+register_engine("pallas_k2", PallasKaratsubaEngine(tb=128, levels=2))
 
 
 def select_fast_engine(params=None) -> str:
@@ -107,19 +108,16 @@ def select_fast_engine(params=None) -> str:
         oracle.external_product_digits(oracle.prepare_trgsw(rows, params), digits, params)
     )
     on_cpu = jnp.ones(1).devices().pop().platform == "cpu"
-    for name in ("pallas_k", "pallas", "matmul", "matmul_bf16"):
-        if name == "pallas_k" and (
-            params.N % 256 != 0  # half-size contraction must tile by 128
-            or params.N > 2048  # panel table must fit raised VMEM cap
-            or on_cpu
-        ):
-            continue
-        if name == "pallas" and (
-            params.N % 128 != 0
-            or params.N > 1024  # panel table must fit VMEM (~16 MB scoped)
-            or on_cpu
-        ):
-            continue  # kernel needs N % 128 == 0, N <= 1024, real TPU
+    for name in ("pallas_k2", "pallas_k", "matmul", "matmul_bf16"):
+        if name.startswith("pallas_k"):
+            levels = 2 if name == "pallas_k2" else 1
+            if (
+                params.N % (128 << levels) != 0  # leaf size must tile by 128
+                or params.N > 2048  # panel table must fit raised VMEM cap
+                or params.half_bg * (1 << levels) > 128  # digit sums in int8
+                or on_cpu
+            ):
+                continue
         try:
             eng = get_engine(name)
             got = np.asarray(

@@ -248,3 +248,39 @@ def test_pallas_k_cmux_step_interpret_exact():
     got_flat = ke.cmux_step(ke.prepare_trgsw(rows, params), flat, ai, params)
     got = ke.scan_exit(got_flat, params)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_k2_interpret_exact():
+    # Two-level Karatsuba (Z = X^4, nine quarter-size convs): extprod and
+    # fused step vs the matmul path, exact (interpret mode).
+    from rustfhe_tpu import poly as rpoly, trgsw as rtrgsw
+    from rustfhe_tpu.engine import get_engine as _ge
+    from rustfhe_tpu.engine.pallas_k import PallasKaratsubaEngine
+
+    params = TFHEParams(n=8, N=1024)
+    rs = np.random.RandomState(31)
+    rows = jnp.asarray(
+        rs.randint(0, 2**32, size=(6, 2, params.N), dtype=np.uint64).astype(np.uint32)
+    )
+    digits = jnp.asarray(
+        rs.randint(-params.half_bg, params.half_bg, size=(128, 6, params.N)).astype(np.int32)
+    )
+    acc = jnp.asarray(
+        rs.randint(0, 2**32, size=(128, 2, params.N), dtype=np.uint64).astype(np.uint32)
+    )
+    ai = jnp.asarray(rs.randint(0, 2 * params.N, size=(128,)).astype(np.int32))
+    m = _ge("matmul")
+    prep_m = m.prepare_trgsw(rows, params)
+    want_ep = m.external_product_digits(prep_m, digits, params)
+    rot = rpoly.rotate_binary(acc, ai[:, None])
+    diff = (rot - acc).astype(U32)
+    want_step = (
+        acc + m.external_product_digits(prep_m, rtrgsw.decompose_trlwe(diff, params), params)
+    ).astype(U32)
+
+    k2 = PallasKaratsubaEngine(interpret=True, levels=2)
+    prep = k2.prepare_trgsw(rows, params)
+    got_ep = k2.external_product_digits(prep, digits, params)
+    assert np.array_equal(np.asarray(got_ep), np.asarray(want_ep))
+    got_step = k2.scan_exit(k2.cmux_step(prep, k2.scan_enter(acc, params), ai, params), params)
+    assert np.array_equal(np.asarray(got_step), np.asarray(want_step))
