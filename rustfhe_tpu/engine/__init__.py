@@ -81,34 +81,82 @@ register_engine("pallas_k", PallasKaratsubaEngine(tb=128, levels=1))
 register_engine("pallas_k2", PallasKaratsubaEngine(tb=128, levels=2))
 
 
+def probe_vectors(params):
+    """Adversarial (rows, digits) exactness-probe vectors.
+
+    Beyond one random sample, the set stresses the failure modes integer
+    engines actually have: limb-split sign/carry edges (row bytes 0x80,
+    0x7F, 0xFF, 0x00), accumulator-magnitude extremes (all digits at the
+    most-negative -half_bg against all-ones rows — the largest |partial
+    sum| any input can produce), and digit-boundary values the balanced
+    decomposition emits (exactly -half_bg, exactly half_bg - 1).
+
+    Returns (rows u32 (2L, 2, N), digits i32 (P, 2L, N)) with P patterns
+    batched so one oracle call covers them all.
+    """
+    import numpy as np
+
+    shape_r = (2 * params.l, 2, params.N)
+    size_r = int(np.prod(shape_r))
+    rs = np.random.RandomState(1234)
+
+    byte_edges = np.array([0x00, 0x01, 0x7F, 0x80, 0xFE, 0xFF], np.uint32)
+    word_edges = np.array(
+        [0x00000000, 0x00000001, 0x7FFFFFFF, 0x80000000, 0x80808080, 0xFFFFFFFF],
+        np.uint32,
+    )
+    b = byte_edges[np.arange(size_r * 4) % len(byte_edges)].reshape(size_r, 4)
+    rows = np.empty(size_r, np.uint32)
+    third = size_r // 3
+    # third 1: random; third 2: cycling word edges; third 3: cycling edge bytes.
+    rows[:third] = rs.randint(0, 2**32, size=third, dtype=np.uint64).astype(np.uint32)
+    rows[third : 2 * third] = word_edges[np.arange(third) % len(word_edges)]
+    rest = size_r - 2 * third
+    rows[2 * third :] = (
+        b[:rest, 0] | (b[:rest, 1] << 8) | (b[:rest, 2] << 16) | (b[:rest, 3] << 24)
+    )
+    rows = rows.reshape(shape_r)
+
+    hb = params.half_bg
+    shape_d = (2 * params.l, params.N)
+    digits = np.stack(
+        [
+            rs.randint(-hb, hb, size=shape_d),
+            np.full(shape_d, -hb),  # most-negative digit everywhere
+            np.full(shape_d, hb - 1),  # most-positive digit everywhere
+            np.where(np.arange(params.N) % 2 == 0, -hb, hb - 1) * np.ones(shape_d, int),
+        ]
+    ).astype(np.int32)
+    return rows, digits
+
+
 def select_fast_engine(params=None) -> str:
     """Pick the fastest engine whose external product is exact on this backend.
 
     Candidates are probed in descending measured-speed order against the
-    naive mod-2^32 oracle ON DEVICE (the int8 MXU path and the fused Pallas
-    kernel must both produce exact results or they are skipped; the bf16
-    engine's accumulations are provably exact in f32 and is the fallback).
+    naive mod-2^32 oracle ON DEVICE over the adversarial ``probe_vectors``
+    set (the int8 MXU path and the fused Pallas kernel must produce exact
+    results on every pattern or they are skipped; the bf16 engine's
+    accumulations are provably exact in f32 and is the fallback).
     """
     import numpy as np
 
     from ..params import DEFAULT_PARAMS
 
     params = params or DEFAULT_PARAMS
-    rs = np.random.RandomState(1234)
-    rows = jnp.asarray(
-        rs.randint(0, 2**32, size=(2 * params.l, 2, params.N), dtype=np.uint64).astype(np.uint32)
-    )
-    digits = jnp.asarray(
-        rs.randint(-params.half_bg, params.half_bg, size=(2, 2 * params.l, params.N)).astype(
-            np.int32
-        )
-    )
+    rows, digits = probe_vectors(params)
+    rows = jnp.asarray(rows)
+    digits = jnp.asarray(digits)
     oracle = get_engine("oracle")
     want = np.asarray(
         oracle.external_product_digits(oracle.prepare_trgsw(rows, params), digits, params)
     )
     on_cpu = jnp.ones(1).devices().pop().platform == "cpu"
-    for name in ("pallas_k2", "pallas_k", "matmul", "matmul_bf16"):
+    # Probe order = descending real-scan speed: pallas_k2 measured 6,214.8
+    # gates/s vs pallas_k's 5,552 in the round-1 driver bench (BENCH.md).
+    # The plain fused kernel stays as a fallback for parameter sets that
+    # violate the Karatsuba constraints (e.g. bgbit=8 digit-sum overflow).
+    for name in ("pallas_k2", "pallas_k", "pallas", "matmul", "matmul_bf16"):
         if name.startswith("pallas_k"):
             levels = 2 if name == "pallas_k2" else 1
             if (
@@ -118,16 +166,32 @@ def select_fast_engine(params=None) -> str:
                 or on_cpu
             ):
                 continue
-        try:
-            eng = get_engine(name)
-            got = np.asarray(
-                eng.external_product_digits(eng.prepare_trgsw(rows, params), digits, params)
-            )
-        except Exception:
-            continue
-        if np.array_equal(got, want):
+        elif name == "pallas":
+            if (
+                params.N % 128 != 0
+                or params.N > 2048
+                or params.half_bg > 128  # digits must fit int8
+                or on_cpu
+            ):
+                continue
+        if engine_exact_on_probe(get_engine(name), params, rows, digits, want):
             return name
     raise RuntimeError("no engine computes the external product exactly on this backend")
+
+
+def engine_exact_on_probe(engine, params, rows, digits, want) -> bool:
+    """True iff ``engine`` reproduces the oracle on every probe pattern."""
+    import numpy as np
+
+    try:
+        got = np.asarray(
+            engine.external_product_digits(
+                engine.prepare_trgsw(rows, params), digits, params
+            )
+        )
+    except Exception:
+        return False
+    return bool(np.array_equal(got, np.asarray(want)))
 
 __all__ = [
     "PolyEngine",
@@ -135,4 +199,6 @@ __all__ = [
     "MatmulEngine",
     "get_engine",
     "register_engine",
+    "probe_vectors",
+    "select_fast_engine",
 ]

@@ -80,7 +80,9 @@ class MatmulEngine:
     # External product
     # ------------------------------------------------------------------ #
     def _circulant(self, q, params):
-        """q: int8 (2L, 2, K, 2N) -> C: int8 (2L*N, 2*K*N).
+        """q: int8 (R, 2, K, 2N) -> C: int8 (R*N, 2*K*N), R row polys
+        (R = 2L for a full TRGSW; any leading row count works, e.g. a
+        tensor-parallel row shard).
 
         C[(j,m),(c,l,n)] = q[j,c,l,(n-m) mod 2N].
 
@@ -91,13 +93,13 @@ class MatmulEngine:
         """
         N = params.N
         two_n = 2 * N
-        lead = q.shape[:-1]  # (2L, 2, K)
+        lead = q.shape[:-1]  # (R, 2, K)
         tiled = jnp.tile(q, (1,) * len(lead) + (N,))  # (..., N*2N)
         tiled = tiled[..., : N * (two_n - 1)].reshape(lead + (N, two_n - 1))
-        c = tiled[..., :N]  # (2L, 2, K, m, n)
-        c = jnp.moveaxis(c, -2, 1)  # (2L, m, 2, K, n)
-        two_l = 2 * params.l
-        return c.reshape(two_l * N, 2 * self.num_limbs * N)
+        c = tiled[..., :N]  # (R, 2, K, m, n)
+        c = jnp.moveaxis(c, -2, 1)  # (R, m, 2, K, n)
+        rows = q.shape[0]
+        return c.reshape(rows * N, 2 * self.num_limbs * N)
 
     def _matmul(self, digits_flat, circ):
         """digits_flat: (..., 2L*N) small ints; circ: (2L*N, 2*K*N) int8.

@@ -165,31 +165,40 @@ def _shiftz1_i32(m, ns: int):
     return jnp.concatenate([-m[:, ns - 1 :], m[:, : ns - 1]], axis=1)
 
 
+def _shiftz1_u32(m, ns: int):
+    return jnp.concatenate([_neg_u32(m[:, ns - 1 :]), m[:, : ns - 1]], axis=1)
+
+
 def _karatsuba_accumulate(dj, w_vmem, c, *, ns, lvls, T, num_limbs, limb_bits,
                           tm, tb):
     """dj: per digit plane j, a list of T = 3^L int8 (tb, ns) operand
     planes (tree_planes order); w_vmem[c]: panel rows g=((j*K+l)*T+t)*tm.
-    Returns 2^L u32 residue outputs (the external-product contribution)."""
-    R_out = None
-    outs = None
-    for l in range(num_limbs):
-        m = [jnp.zeros((tb, ns), I32) for _ in range(T)]
-        for j in range(2 * lvls):
-            for t in range(T):
+    Returns 2^L u32 residue outputs (the external-product contribution).
+
+    Limb recombination happens per LEAF (u32 wrapping shift-add of the
+    int32 per-limb dot sums), so tree_combine runs ONCE over u32 planes
+    instead of once per limb — tree_combine is linear with integer
+    coefficients, so it commutes with the mod-2^32 reduction.  Measured
+    (benches/combine_order_probe.py): T*(2K-1) leaf recombine ops + one
+    combine beats K combines + R*K output shift-adds for T >= 3."""
+    leaves = []
+    for t in range(T):
+        leaf = None
+        for l in range(num_limbs):
+            part = jnp.zeros((tb, ns), I32)
+            for j in range(2 * lvls):
                 r0 = ((j * num_limbs + l) * T + t) * tm
                 for mb in range(ns // tm):
                     d_blk = dj[j][t][:, mb * tm : (mb + 1) * tm]
                     col0 = (ns - tm) - mb * tm
                     w_blk = w_vmem[c, r0 : r0 + tm, col0 : col0 + ns]
-                    m[t] += jnp.dot(d_blk, w_blk, preferred_element_type=I32)
-        res = tree_combine(m, lambda v: _shiftz1_i32(v, ns))
-        if outs is None:
-            R_out = len(res)
-            outs = [jnp.zeros((tb, ns), U32) for _ in range(R_out)]
-        sh = U32(limb_bits * l)
-        for i in range(R_out):
-            outs[i] = outs[i] + (res[i].astype(U32) << sh)
-    return outs
+                    part += jnp.dot(d_blk, w_blk, preferred_element_type=I32)
+            contrib = part.astype(U32) if l == 0 else (
+                part.astype(U32) << U32(limb_bits * l)
+            )
+            leaf = contrib if leaf is None else leaf + contrib
+        leaves.append(leaf)
+    return tree_combine(leaves, lambda v: _shiftz1_u32(v, ns))
 
 
 # --------------------------------------------------------------------- #
@@ -336,6 +345,7 @@ def fused_external_product_k(digits_flat, panels, *, params, levels=1,
     rows = 2 * params.l * num_limbs * T * tm
     width = 2 * ns - tm
     assert B % tb == 0 and ns % tm == 0
+    assert panels.shape == (2, rows, width), panels.shape
 
     return pl.pallas_call(
         functools.partial(

@@ -1,7 +1,13 @@
 """Mesh sharding and collectives for scale-out gate evaluation."""
 
 from .mesh import make_mesh, batch_sharding, replicated
-from .sharded import sharded_gate_fn, shard_cloud_key
+from .sharded import (
+    key_switch_all_to_all,
+    shard_cloud_key,
+    shard_cloud_key_tp,
+    sharded_gate_fn,
+    tp_gate_fn,
+)
 from . import multihost
 
 __all__ = [
@@ -10,4 +16,7 @@ __all__ = [
     "replicated",
     "sharded_gate_fn",
     "shard_cloud_key",
+    "shard_cloud_key_tp",
+    "tp_gate_fn",
+    "key_switch_all_to_all",
 ]

@@ -64,30 +64,206 @@ def _key_switch_local(ct_lv1, ksk_local, params: TFHEParams, engine, axis_name: 
     return (tlwe.trivial(b, params.n) - acc).astype(U32)
 
 
-def sharded_gate_fn(mesh: Mesh, params: TFHEParams, engine_name: str = "matmul"):
-    """Build a jitted, mesh-sharded NAND over (CloudKey, x, y).
+def _bootstrap_local(pre, bk, ksk_local, params: TFHEParams, engine,
+                     ks_fn=None):
+    """Full bootstrap of the local batch shard, key switch psum'd over
+    ``model`` (blind rotate + extract: tfhe.rs:73-88; switch: tlwe.rs:43-73)."""
+    testvec = trlwe.trivial(jnp.full((params.N,), jnp.asarray(params.mu, U32), U32))
+    rotated = blind_rotate(pre, bk, testvec, params, engine)
+    lv1 = trlwe.sample_extract(rotated, 0)
+    if ks_fn is None:
+        return _key_switch_local(lv1, ksk_local, params, engine, "model")
+    return ks_fn(lv1, ksk_local, params, engine)
 
-    The returned function expects the KSK pre-sharded over ``model`` rows
-    and ciphertext batches sharded over ``data``; the bootstrapping key is
-    replicated.  Returns outputs sharded over ``data``.
+
+def _gate_local(kind: str, params: TFHEParams, engine, ks_fn=None):
+    """The six reference gate formulas (tfhe.rs:27-71) over local shards."""
+    mu = jnp.asarray(params.mu, U32)
+
+    def mu_triv():
+        return tlwe.trivial(mu, params.n)
+
+    def nand(bk, ksk, x, y):
+        pre = (mu_triv() - (x + y)).astype(U32)
+        return _bootstrap_local(pre, bk, ksk, params, engine, ks_fn)
+
+    def and_(bk, ksk, x, y):
+        pre = ((x + y) - mu_triv()).astype(U32)
+        return _bootstrap_local(pre, bk, ksk, params, engine, ks_fn)
+
+    def or_(bk, ksk, x, y):
+        pre = ((x + y) + mu_triv()).astype(U32)
+        return _bootstrap_local(pre, bk, ksk, params, engine, ks_fn)
+
+    def xor(bk, ksk, x, y):
+        two_mu = tlwe.trivial(jnp.asarray((2 * params.mu) & 0xFFFFFFFF, U32), params.n)
+        pre = ((x + y) * U32(2) + two_mu).astype(U32)
+        return _bootstrap_local(pre, bk, ksk, params, engine, ks_fn)
+
+    def not_(bk, ksk, x):
+        return _bootstrap_local(tlwe.neg(x), bk, ksk, params, engine, ks_fn)
+
+    def mux(bk, ksk, control, in0, in1):
+        # Two independent ANDs fused into one double-width bootstrap batch
+        # (same trick as gates.hom_mux), then the OR bootstrap.
+        pre_a = ((control + in1) - mu_triv()).astype(U32)
+        pre_b = ((tlwe.neg(control) + in0) - mu_triv()).astype(U32)
+        both = _bootstrap_local(jnp.stack([pre_a, pre_b]), bk, ksk, params, engine, ks_fn)
+        pre = (both[0] + both[1] + mu_triv()).astype(U32)
+        return _bootstrap_local(pre, bk, ksk, params, engine, ks_fn)
+
+    return {"nand": nand, "and": and_, "or": or_, "xor": xor,
+            "not": not_, "mux": mux}[kind]
+
+
+def sharded_gate_fn(mesh: Mesh, params: TFHEParams, engine_name: str = "matmul",
+                    kind: str = "nand", key_switch: str = "psum"):
+    """Build a jitted, mesh-sharded homomorphic gate over (bk, ksk, *cts).
+
+    ``kind``: one of nand/and/or/xor (2 ciphertext args), not (1 arg),
+    mux (3 args).  ``key_switch``: "psum" (each device builds the full
+    one-hot and slices its KSK row range) or "all_to_all" (one-hot built
+    batch-sharded over ``data``, transpose-exchanged to row-sharded — the
+    KSK must then be row-sharded over ``data``).  The returned function
+    expects ciphertext batches sharded over ``data``; the bootstrapping key
+    is replicated.  Returns outputs sharded over ``data``.
     """
     engine = get_engine(engine_name)
+    if key_switch == "psum":
+        gate = _gate_local(kind, params, engine)
+        ksk_spec = P("model")
+    elif key_switch == "all_to_all":
+        def ks_fn(lv1, ksk_local, p_, eng):
+            return key_switch_all_to_all(lv1, ksk_local, p_, eng, "data")
 
-    def gate(bk, ksk, x, y):
-        mu = jnp.asarray(params.mu, U32)
-        pre = (tlwe.trivial(mu, params.n) - (x + y)).astype(U32)
-        testvec = trlwe.trivial(jnp.full((params.N,), mu, U32))
-        rotated = blind_rotate(pre, bk, testvec, params, engine)
-        lv1 = trlwe.sample_extract(rotated, 0)
-        return _key_switch_local(lv1, ksk, params, engine, "model")
-
+        gate = _gate_local(kind, params, engine, ks_fn)
+        ksk_spec = P("data")
+    else:
+        raise ValueError(f"unknown key_switch {key_switch!r}")
+    n_cts = {"not": 1, "mux": 3}.get(kind, 2)
     mapped = jax.shard_map(
         gate,
         mesh=mesh,
-        in_specs=(P(), P("model"), P("data"), P("data")),
+        in_specs=(P(), ksk_spec) + (P("data"),) * n_cts,
         out_specs=P("data"),
     )
     return jax.jit(mapped)
+
+
+# --------------------------------------------------------------------- #
+# Tensor-parallel blind rotate: BK row-sharded, psum INSIDE the hot loop
+# --------------------------------------------------------------------- #
+class _TPMatmulEngine:
+    """MatmulEngine wrapper whose external product contracts only this
+    device's shard of the 2L gadget rows and psums the int32 partial limb
+    sums over ``model`` BEFORE recombination (exact: |partial| <= 2^24.6,
+    integer psum is associative).
+
+    This is the tp-style sharding of the hot-loop contraction itself: each
+    device stores 2L/model of every TRGSW (BK memory and MXU MACs divide by
+    the axis size) and one psum of the (B_local, 2*K*N) int32 partials runs
+    per blind-rotate step — the collective lives INSIDE lax.scan.
+    """
+
+    def __init__(self, base, axis_name: str):
+        self._base = base
+        self.axis = axis_name
+        self.limb_bits = base.limb_bits
+        self.num_limbs = base.num_limbs
+
+    def external_product_digits(self, prepared_local, digits, params):
+        # prepared_local: int8 (2L_local, 2, K, 2N) — this device's row shard.
+        two_l_local = prepared_local.shape[0]
+        start = jax.lax.axis_index(self.axis) * two_l_local
+        d_local = jax.lax.dynamic_slice_in_dim(digits, start, two_l_local, axis=-2)
+        circ = self._base._circulant(prepared_local, params)
+        dflat = d_local.reshape(d_local.shape[:-2] + (two_l_local * params.N,))
+        out = self._base._matmul(dflat, circ)  # int32 partial limb sums
+        out = jax.lax.psum(out, self.axis)
+        out = out.reshape(out.shape[:-1] + (2, self.num_limbs, params.N))
+        return self._base._recombine(out, params)
+
+    def poly_mul_torus_binary(self, a, s, params):
+        return self._base.poly_mul_torus_binary(a, s, params)
+
+
+def tp_gate_fn(mesh: Mesh, params: TFHEParams, kind: str = "nand"):
+    """Mesh-sharded gate with the BK gadget rows tensor-parallel over
+    ``model``: per-step psum of external-product partials inside the scan,
+    plus the psum key switch.  Inputs: bk sharded on its 2L axis, ksk row
+    sharded, ciphertexts over ``data``."""
+    engine = get_engine("matmul")
+    n_cts = {"not": 1, "mux": 3}.get(kind, 2)
+
+    def gate_n(bk_local, ksk_local, *cts):
+        tp = _TPMatmulEngine(engine, "model")
+        return _gate_local(kind, params, tp)(bk_local, ksk_local, *cts)
+
+    mapped = jax.shard_map(
+        gate_n,
+        mesh=mesh,
+        in_specs=(P(None, "model"), P("model")) + (P("data"),) * n_cts,
+        out_specs=P("data"),
+    )
+    return jax.jit(mapped)
+
+
+def shard_cloud_key_tp(ck: CloudKey, mesh: Mesh):
+    """BK sharded over its gadget-row (2L) axis, KSK row-sharded."""
+    from jax.sharding import NamedSharding
+
+    bk = jax.device_put(ck.bk, NamedSharding(mesh, P(None, "model")))
+    ksk = jax.device_put(ck.ksk, NamedSharding(mesh, P("model")))
+    return CloudKey(bk=bk, ksk=ksk)
+
+
+# --------------------------------------------------------------------- #
+# all_to_all key switch: batch-sharded one-hot exchanged to row-sharded
+# --------------------------------------------------------------------- #
+def key_switch_all_to_all(ct_lv1, ksk_local, params: TFHEParams, engine,
+                          axis_name: str):
+    """Key switch where each device builds the one-hot only for its BATCH
+    shard, then ``all_to_all`` re-shards it from batch-major to KSK-row-major
+    before the local matmul (the transpose-exchange pattern of a sharded
+    contraction; SURVEY.md §5 names all_to_all for transposed stages), and a
+    final psum accumulates the partial limb sums.
+
+    ct_lv1: (..., B_local, N+1) — batch sharded over ``axis_name`` (leading
+    dims allowed; they are folded into the exchanged batch).
+    ksk_local: (Q_local, (n+1)*K) — rows sharded over the SAME axis.
+    Returns the switched lv0 ciphertexts, batch-sharded as on entry.
+    """
+    lead = ct_lv1.shape[:-1]
+    b = tlwe.body(ct_lv1)
+    a = tlwe.mask(ct_lv1)
+    digits = decompose_unsigned(a, params)  # (..., N, iks_l)
+    nslots = params.iks_t - 1
+    t = jnp.arange(1, params.iks_t, dtype=I32)
+    onehot = (digits.astype(I32)[..., None] == t).astype(I8)
+    q_total = params.N * params.iks_l * nslots
+    onehot = onehot.reshape(-1, q_total)  # (B_local_flat, Q)
+
+    b_local = onehot.shape[0]
+    # Transpose-exchange: batch-sharded (B_local, Q) -> row-sharded
+    # (B_total, Q_local).  Chunk d of every peer's Q axis lands on device d,
+    # concatenated in peer (= batch) order.
+    full_onehot_local = jax.lax.all_to_all(
+        onehot, axis_name, split_axis=1, concat_axis=0, tiled=True
+    )
+    part = jnp.dot(full_onehot_local, ksk_local, preferred_element_type=I32)
+    part = jax.lax.psum(part, axis_name)  # (B_total, (n+1)*K) int32, exact
+    K = engine.num_limbs
+    out = part.reshape(part.shape[:-1] + (part.shape[-1] // K, K))
+    acc = jnp.zeros(out.shape[:-1], U32)
+    u = out.astype(U32)
+    for k in range(K):
+        acc = acc + (u[..., k] << U32(engine.limb_bits * k))
+    # Back to batch-sharded: take this device's slice of the full batch
+    # (its own flattened rows, by construction of the concat order).
+    my = jax.lax.axis_index(axis_name) * b_local
+    acc_local = jax.lax.dynamic_slice_in_dim(acc, my, b_local, axis=0)
+    acc_local = acc_local.reshape(lead + (params.n + 1,))
+    return (tlwe.trivial(b, params.n) - acc_local).astype(U32)
 
 
 def shard_cloud_key(ck: CloudKey, mesh: Mesh):

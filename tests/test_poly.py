@@ -284,3 +284,49 @@ def test_pallas_k2_interpret_exact():
     assert np.array_equal(np.asarray(got_ep), np.asarray(want_ep))
     got_step = k2.scan_exit(k2.cmux_step(prep, k2.scan_enter(acc, params), ai, params), params)
     assert np.array_equal(np.asarray(got_step), np.asarray(want_step))
+
+
+class _EdgeBrokenEngine:
+    """Deliberately broken engine: wrong ONLY where a most-negative digit
+    (-half_bg) multiplies a row byte equal to 0x80 — the limb sign-overflow
+    edge a single random probe sample catches only with ~50% probability at
+    N=1024 (P(per-position) = 1/Bg * 1/256).  The adversarial probe set must
+    catch it deterministically."""
+
+    name = "edge_broken"
+
+    def __init__(self):
+        from rustfhe_tpu.engine import get_engine
+
+        self._oracle = get_engine("oracle")
+
+    def prepare_trgsw(self, rows, params):
+        return self._oracle.prepare_trgsw(rows, params)
+
+    def external_product_digits(self, prepared, digits, params):
+        out = self._oracle.external_product_digits(prepared, digits, params)
+        # Inject the edge fault: if any (digit == -half_bg, row byte == 0x80)
+        # pair exists, corrupt the first output coefficient.
+        rows_bytes = np.asarray(prepared).view(np.uint8)
+        has_edge_row = bool((rows_bytes == 0x80).any())
+        has_edge_digit = bool((np.asarray(digits) == -params.half_bg).any())
+        if has_edge_row and has_edge_digit:
+            out = out.at[..., 0, 0].add(jnp.uint32(1))
+        return out
+
+
+def test_probe_vectors_catch_edge_broken_engine():
+    from rustfhe_tpu.engine import engine_exact_on_probe, get_engine, probe_vectors
+
+    params = TFHEParams(n=16, N=64)
+    rows, digits = probe_vectors(params)
+    rows_j, digits_j = jnp.asarray(rows), jnp.asarray(digits)
+    oracle = get_engine("oracle")
+    want = oracle.external_product_digits(
+        oracle.prepare_trgsw(rows_j, params), digits_j, params
+    )
+    assert engine_exact_on_probe(get_engine("matmul"), params, rows_j, digits_j, want)
+    assert not engine_exact_on_probe(_EdgeBrokenEngine(), params, rows_j, digits_j, want)
+    # The probe set must contain both edge triggers by construction.
+    assert (np.asarray(rows).view(np.uint8) == 0x80).any()
+    assert (digits == -params.half_bg).any()

@@ -45,3 +45,69 @@ def test_sharded_matches_single_device(setup, data, model):
     dec = np.asarray(tlwe.decrypt_binary(out, sk.lv0))
     expect = 1 - (np.asarray(bx) & np.asarray(by))
     assert np.array_equal(dec, expect)
+
+
+@pytest.mark.parametrize("kind", ["and", "or", "xor"])
+def test_sharded_two_input_gates_bit_exact(setup, kind):
+    p, sk, ck, cx, cy, ref, bx, by = setup
+    mesh = make_mesh(data=4, model=2)
+    ck_sh = shard_cloud_key(ck, mesh)
+    fn = sharded_gate_fn(mesh, p, "matmul", kind=kind)
+    out = fn(ck_sh.bk, ck_sh.ksk, cx, cy)
+    single = gates.GATES_2IN[kind](ck, cx, cy, params=p, engine_name="matmul")
+    assert np.array_equal(np.asarray(out), np.asarray(single))
+    dec = np.asarray(tlwe.decrypt_binary(out, sk.lv0))
+    x, y = np.asarray(bx), np.asarray(by)
+    expect = {"and": x & y, "or": x | y, "xor": x ^ y}[kind]
+    assert np.array_equal(dec, expect)
+
+
+def test_sharded_not_and_mux_bit_exact(setup):
+    p, sk, ck, cx, cy, ref, bx, by = setup
+    mesh = make_mesh(data=4, model=2)
+    ck_sh = shard_cloud_key(ck, mesh)
+
+    fn_not = sharded_gate_fn(mesh, p, "matmul", kind="not")
+    out = fn_not(ck_sh.bk, ck_sh.ksk, cx)
+    single = gates.hom_not(ck, cx, params=p, engine_name="matmul")
+    assert np.array_equal(np.asarray(out), np.asarray(single))
+    assert np.array_equal(
+        np.asarray(tlwe.decrypt_binary(out, sk.lv0)), 1 - np.asarray(bx)
+    )
+
+    fn_mux = sharded_gate_fn(mesh, p, "matmul", kind="mux")
+    ctrl = cx
+    out = fn_mux(ck_sh.bk, ck_sh.ksk, ctrl, cy, cx)  # control ? cx : cy
+    single = gates.hom_mux(ck, ctrl, cy, cx, params=p, engine_name="matmul")
+    assert np.array_equal(np.asarray(out), np.asarray(single))
+    x, y = np.asarray(bx), np.asarray(by)
+    expect = np.where(x == 1, x, y)
+    assert np.array_equal(np.asarray(tlwe.decrypt_binary(out, sk.lv0)), expect)
+
+
+def test_tp_blind_rotate_bit_exact(setup):
+    # BK gadget rows tensor-parallel over model: per-step psum inside the
+    # scan must agree bit-for-bit with the replicated-BK path.
+    from rustfhe_tpu.parallel import shard_cloud_key_tp, tp_gate_fn
+
+    p, sk, ck, cx, cy, ref, bx, by = setup
+    mesh = make_mesh(data=4, model=2)
+    ck_tp = shard_cloud_key_tp(ck, mesh)
+    fn = tp_gate_fn(mesh, p, kind="nand")
+    out = fn(ck_tp.bk, ck_tp.ksk, cx, cy)
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_all_to_all_key_switch_bit_exact(setup):
+    # One-hot built batch-sharded, transpose-exchanged (all_to_all) to KSK
+    # row shards: must agree bit-for-bit with the psum-only variant.
+    p, sk, ck, cx, cy, ref, bx, by = setup
+    mesh = make_mesh(data=4, model=2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rustfhe_tpu.keys import CloudKey
+
+    bk = jax.device_put(ck.bk, NamedSharding(mesh, P()))
+    ksk = jax.device_put(ck.ksk, NamedSharding(mesh, P("data")))
+    fn = sharded_gate_fn(mesh, p, "matmul", kind="nand", key_switch="all_to_all")
+    out = fn(bk, ksk, cx, cy)
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
