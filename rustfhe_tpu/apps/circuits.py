@@ -114,54 +114,132 @@ def evaluate_plain(circuit: Circuit, inputs: np.ndarray) -> np.ndarray:
 
 
 def _bucket(k: int) -> int:
-    """Round a per-level gate count up to a power of two so the jitted gate
-    programs are reused across levels instead of recompiling per width."""
-    return 1 << (k - 1).bit_length() if k > 1 else 1
+    """Round a per-level gate count up so jitted bootstrap programs are
+    reused across levels: powers of two up to 256, then multiples of 256
+    (bounded padding waste on wide levels, bounded compile count)."""
+    if k <= 1:
+        return 1
+    if k <= 256:
+        return 1 << (k - 1).bit_length()
+    return ((k + 255) // 256) * 256
 
 
-def evaluate_encrypted(circuit: Circuit, ctx, ct_inputs) -> jnp.ndarray:
-    """Levelized batched FHE evaluation.
+# Every primitive gate's pre-combination is linear in (x, y, mu):
+# pre = ca*x + cb*y + cm*mu (mod 2^32), followed by the SAME bootstrap
+# (reference formulas tfhe.rs:27-71).  "andn" is AND with the first input
+# negated — the second half of the reference MUX decomposition
+# ((!c & in0), tfhe.rs:29-39).
+_COEFFS = {
+    "nand": (-1, -1, 1),
+    "and": (1, 1, -1),
+    "or": (1, 1, 1),
+    "xor": (2, 2, 2),
+    "not": (-1, 0, 0),
+    "andn": (-1, 1, -1),
+}
+
+
+def lower(circuit: Circuit):
+    """Lower to linear-precombination primitives: mux(c, in0, in1) becomes
+    and(c, in1), andn(c, in0), or(.., ..) (the reference's 3-bootstrap
+    decomposition, tfhe.rs:29-39).  Returns (ops, in_a, in_b, out, n_wires)
+    as numpy arrays over primitive gate indices."""
+    ops, in_a, in_b, outs = [], [], [], []
+    next_wire = circuit.n_wires
+    for g in circuit.gates:
+        if g.op == "mux":
+            c, i0, i1 = g.inputs
+            w1, w2 = next_wire, next_wire + 1
+            next_wire += 2
+            ops += ["and", "andn", "or"]
+            in_a += [c, c, w1]
+            in_b += [i1, i0, w2]
+            outs += [w1, w2, g.output]
+        elif g.op == "not":
+            ops.append("not")
+            in_a.append(g.inputs[0])
+            in_b.append(g.inputs[0])  # unused (cb = 0)
+            outs.append(g.output)
+        else:
+            ops.append(g.op)
+            in_a.append(g.inputs[0])
+            in_b.append(g.inputs[1])
+            outs.append(g.output)
+    return (
+        np.array(ops),
+        np.array(in_a, np.int64),
+        np.array(in_b, np.int64),
+        np.array(outs, np.int64),
+        next_wire,
+    )
+
+
+def evaluate_encrypted(circuit: Circuit, ctx, ct_inputs,
+                       fixed_width: int | None = None) -> jnp.ndarray:
+    """Level-fused batched FHE evaluation.
 
     ``ct_inputs``: TLWE batch of shape (n_inputs, n+1) (or (..., n_inputs,
     n+1) with extra leading batch axes — every gate then evaluates the whole
-    leading batch too).  Within each level, all gates of one type are
-    evaluated in a single batched bootstrapping call, padded to power-of-two
-    widths so XLA compiles one program per (op, width-bucket).
+    leading batch too).
+
+    Design (scales to >=10k-gate circuits):
+      * the circuit is lowered to linear-precombination primitives and
+        levelized by the NATIVE levelizer (native/negacyclic.cpp) — host
+        scheduling cost is O(gates) in C++, not Python;
+      * all wires live in ONE device array (n_wires, ..., n+1); per level the
+        inputs are two indexed gathers and the outputs one scatter;
+      * a level runs as ONE batched bootstrap for ALL its gates regardless of
+        op (the per-gate op is a (ca, cb, cm) coefficient triple applied
+        vectorized), padded only to the level's width bucket — per-level
+        dispatch cost is independent of gate count, and there are no per-op
+        dummy-lane bootstraps.
+
+    ``fixed_width``: pad every level to exactly this width (must be >= the
+    widest level) so ONE compiled bootstrap program serves every level —
+    used where compiles are expensive (the TPU remote-compile tunnel).
     """
-    wires: dict[int, jnp.ndarray] = {
-        w: ct_inputs[..., w, :] for w in range(circuit.n_inputs)
-    }
+    from .. import native
 
-    def stacked(ws):
-        cts = [wires[w] for w in ws]
-        k = len(cts)
-        pad = _bucket(k) - k
-        cts = cts + [cts[0]] * pad  # padding lanes are dummies, ignored below
-        return jnp.stack(cts, axis=-2)
+    ops, in_a, in_b, out_w, n_wires = lower(circuit)
+    n_gates = len(ops)
+    inputs3 = np.stack([in_a, in_b, np.full(n_gates, -1, np.int64)], axis=1)
+    levels, depth = native.levelize(n_gates, n_wires, circuit.n_inputs, inputs3, out_w)
 
-    for layer in circuit.levelize():
-        by_op: dict[str, list[Gate]] = {}
-        for g in layer:
-            by_op.setdefault(g.op, []).append(g)
-        for op, gs in by_op.items():
-            if op in _OPS2:
-                xs = stacked([g.inputs[0] for g in gs])
-                ys = stacked([g.inputs[1] for g in gs])
-                method = {"nand": ctx.nand, "and": ctx.and_, "or": ctx.or_, "xor": ctx.xor}[op]
-                outs = method(xs, ys)
-            elif op == "not":
-                outs = ctx.not_(stacked([g.inputs[0] for g in gs]))
-            elif op == "mux":
-                outs = ctx.mux(
-                    stacked([g.inputs[0] for g in gs]),
-                    stacked([g.inputs[1] for g in gs]),
-                    stacked([g.inputs[2] for g in gs]),
-                )
-            else:
-                raise ValueError(op)
-            for j, g in enumerate(gs):
-                wires[g.output] = outs[..., j, :]
-    return jnp.stack([wires[w] for w in circuit.outputs], axis=-2)
+    coeff = np.array([_COEFFS[o] for o in ops], np.int64) & 0xFFFFFFFF  # (G, 3)
+
+    # Wire-major storage: (n_wires, ..., n+1).
+    ct_inputs = jnp.asarray(ct_inputs, U32)
+    lead = ct_inputs.shape[:-2]
+    n1 = ct_inputs.shape[-1]
+    wires = jnp.zeros((n_wires,) + lead + (n1,), U32)
+    wires = wires.at[: circuit.n_inputs].set(
+        jnp.moveaxis(ct_inputs, -2, 0).reshape((circuit.n_inputs,) + lead + (n1,))
+    )
+    bshape = (-1,) + (1,) * (len(lead) + 1)
+    p = ctx.params
+
+    for lv in range(1, depth + 1):
+        sel = np.nonzero(levels == lv)[0]
+        k = len(sel)
+        width = fixed_width if fixed_width is not None else _bucket(k)
+        assert width >= k, (width, k)
+        pad = width - k
+        idx_a = np.concatenate([in_a[sel], np.zeros(pad, np.int64)])
+        idx_b = np.concatenate([in_b[sel], np.zeros(pad, np.int64)])
+        cs = np.concatenate([coeff[sel], np.zeros((pad, 3), np.int64)])
+        ca = jnp.asarray(cs[:, 0], U32).reshape(bshape)
+        cb = jnp.asarray(cs[:, 1], U32).reshape(bshape)
+        cm = jnp.asarray((cs[:, 2] * p.mu) & 0xFFFFFFFF, U32)  # (k+pad,)
+        xa = wires[jnp.asarray(idx_a)]  # (k+pad, ..., n+1)
+        xb = wires[jnp.asarray(idx_b)]
+        pre = (xa * ca + xb * cb).astype(U32)
+        pre = pre.at[(slice(None),) + (slice(None),) * len(lead) + (0,)].add(
+            cm.reshape((-1,) + (1,) * len(lead))
+        )
+        outs = ctx.bootstrap_raw(pre)
+        wires = wires.at[jnp.asarray(out_w[sel])].set(outs[:k])
+    result = wires[jnp.asarray(np.array(circuit.outputs, np.int64))]
+    return jnp.moveaxis(result, 0, -2)
 
 
 def ripple_carry_adder(n_bits: int) -> Circuit:

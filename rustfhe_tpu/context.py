@@ -90,3 +90,7 @@ class TFHE:
 
     def mux(self, control, in0, in1):
         return self._g(gates.hom_mux, control, in0, in1)
+
+    def bootstrap_raw(self, pre):
+        """Bootstrap a pre-combined batch (for fused circuit levels)."""
+        return self._g(gates.hom_bootstrap, pre)

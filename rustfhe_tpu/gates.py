@@ -33,6 +33,15 @@ def _mu_trivial(params: TFHEParams, shape=()):
 
 
 @partial(jax.jit, static_argnames=("params", "engine_name"))
+def hom_bootstrap(ck: CloudKey, pre, *, params: TFHEParams, engine_name: str = "matmul"):
+    """Bootstrap an already-precombined batch (the shared second half of
+    every gate formula, tfhe.rs:73-80).  Lets callers fuse arbitrary gate
+    mixes into one bootstrap (see apps/circuits.evaluate_encrypted)."""
+    engine = get_engine(engine_name)
+    return bootstrap(jnp.asarray(pre, U32), ck, params, engine)
+
+
+@partial(jax.jit, static_argnames=("params", "engine_name"))
 def hom_nand(ck: CloudKey, x, y, *, params: TFHEParams, engine_name: str = "matmul"):
     engine = get_engine(engine_name)
     pre = (_mu_trivial(params) - (x + y)).astype(U32)

@@ -67,3 +67,56 @@ def test_encrypted_mux_gate(ctx):
         out = evaluate_encrypted(c, ctx, cts)
         got = int(np.asarray(ctx.decrypt(out))[0])
         assert got == (i1 if control else i0)
+
+
+def test_encrypted_leading_batch_axis(ctx):
+    # Extra leading batch axes evaluate the whole batch per gate.
+    c = ripple_carry_adder(2)
+    pairs = [(0, 3), (1, 1), (2, 3), (3, 3)]
+    bits = np.array(
+        [[(a >> i) & 1 for i in range(2)] + [(b >> i) & 1 for i in range(2)]
+         for a, b in pairs],
+        dtype=np.uint32,
+    )  # (4, 4)
+    cts = ctx.encrypt(jnp.asarray(bits))  # (4, 4, n+1)
+    out = evaluate_encrypted(c, ctx, cts)
+    dec = np.asarray(ctx.decrypt(out))  # (4, 3)
+    for row, (a, b) in enumerate(pairs):
+        total = sum(int(dec[row, i]) << i for i in range(3))
+        assert total == a + b, (a, b, total)
+
+
+def test_large_circuit_1k_gates(ctx):
+    """>=1k-gate circuit through the level-fused evaluator: 32 independent
+    8-bit adders laid out side by side (wide levels, one fused bootstrap per
+    level regardless of the op mix)."""
+    n_add = 32
+    single = ripple_carry_adder(8)
+    c = Circuit(n_inputs=16 * n_add)
+    rs = np.random.RandomState(9)
+    vals = rs.randint(0, 256, size=(n_add, 2))
+    # Replicate the adder topology with shifted wire indices.
+    outputs = []
+    for k in range(n_add):
+        remap = {w: 16 * k + w for w in range(16)}
+        for g in single.gates:
+            ins = tuple(remap[w] for w in g.inputs)
+            remap[g.output] = c.add(g.op, *ins)
+        outputs += [remap[w] for w in single.outputs]
+    c.outputs = outputs
+    assert len(c.gates) >= 1000
+
+    bits = np.zeros(16 * n_add, np.uint32)
+    for k, (a, b) in enumerate(vals):
+        for i in range(8):
+            bits[16 * k + i] = (a >> i) & 1
+            bits[16 * k + 8 + i] = (b >> i) & 1
+    # Plain evaluator agrees with integer addition.
+    plain = evaluate_plain(c, bits)
+    cts = ctx.encrypt(jnp.asarray(bits))
+    out = evaluate_encrypted(c, ctx, cts)
+    dec = np.asarray(ctx.decrypt(out))
+    assert np.array_equal(dec, plain)
+    for k, (a, b) in enumerate(vals):
+        total = sum(int(dec[9 * k + i]) << i for i in range(9))
+        assert total == a + b, (k, a, b, total)
