@@ -62,7 +62,9 @@ def main():
         "fast": FAST_PARAMS,
         "test": TEST_PARAMS,  # CPU smoke runs of the bench logic itself
     }[os.environ.get("BENCH_PARAMS", "default")]
-    batch = int(os.environ.get("BENCH_BATCH", "8192"))
+    # B=16384 measured 7% faster per gate than 8192 (per-step fixed costs —
+    # panel build, dispatch — amortize; BENCH.md 2026-08-19).
+    batch = int(os.environ.get("BENCH_BATCH", "16384"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     check_all = os.environ.get("BENCH_GATES", "all") == "all"
 

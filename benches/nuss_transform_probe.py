@@ -283,10 +283,10 @@ def main():
         # mixing each output back into the next input.
         @jax.jit
         def step(acc):
-            out = fn(acc)[0]
-            return (acc + out.reshape(-1)[: acc.size].reshape(acc.shape)).astype(
-                acc.dtype
-            )
+            out = fn(acc)[0].reshape(-1)
+            reps = -(-acc.size // out.size)
+            mix = jnp.tile(out, reps)[: acc.size].reshape(acc.shape)
+            return (acc + mix).astype(acc.dtype)
 
         jax.block_until_ready(step(x))
         t0 = time.perf_counter()

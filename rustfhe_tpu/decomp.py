@@ -73,11 +73,17 @@ def decompose_signed(x, params: TFHEParams) -> jnp.ndarray:
     return decompose_signed_custom(x, params.bgbit, params.l, params.decomp_mask)
 
 
+def iks_round_constant(bits: int, l: int) -> int:
+    """Key-switch rounding constant (tlwe.rs:50-54) — the single source of
+    truth shared with ``TFHEParams.iks_round``."""
+    rem = 32 - l * bits
+    return (1 << (rem - 1)) if rem != 0 else 0
+
+
 def decompose_unsigned_custom(x, bits: int, l: int) -> jnp.ndarray:
     """Unsigned decomposition with rounding: (...,) -> (..., l) uint32 in [0, 2^bits)."""
     digit_mask = U32((1 << bits) - 1)
-    rem = 32 - l * bits
-    rnd = U32((1 << (rem - 1)) if rem != 0 else 0)
+    rnd = U32(iks_round_constant(bits, l))
     x = jnp.asarray(x, U32)
     u = x + rnd
     shifts = jnp.array([32 - bits * (i + 1) for i in range(l)], U32)

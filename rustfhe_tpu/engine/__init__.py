@@ -75,10 +75,16 @@ register_engine("matmul_bf16", MatmulEngine(limb_bits=4, use_bf16=True))
 
 from .pallas_step import PallasEngine  # noqa: E402
 from .pallas_k import PallasKaratsubaEngine  # noqa: E402
+from .transform import NussTransformEngine  # noqa: E402
 
 register_engine("pallas", PallasEngine(tb=128))
 register_engine("pallas_k", PallasKaratsubaEngine(tb=128, levels=1))
 register_engine("pallas_k2", PallasKaratsubaEngine(tb=128, levels=2))
+# Transform-domain reference engine (exact; NOT in the fast-select list —
+# measured slower than Karatsuba-2 on the MXU, see ROADMAP.md).  Its
+# prepare_trgsw builds tables host-side (numpy): use it with direct calls,
+# not inside jitted keygen.
+register_engine("nuss", NussTransformEngine())
 
 
 def probe_vectors(params):

@@ -1,27 +1,48 @@
-"""Multi-host scale-out entry points.
+"""Multi-host scale-out: the N-host gate-evaluation session.
 
 The reference has no distributed story at all (SURVEY.md §2.6).  Here the
 N-host path is standard JAX SPMD: ``jax.distributed.initialize`` forms the
-global runtime, the mesh spans all hosts' devices, and the same
-``sharded_gate_fn`` program runs unchanged — gate batches partitioned over
-``data`` ride ICI within a slice and DCN across slices; bootstrapping keys
-are replicated per-device (62 MB at default parameters).
+global runtime, the mesh spans all hosts' devices, and the same shard_map
+gate programs run unchanged — gate batches partitioned over ``data`` ride
+ICI within a slice and DCN across slices; bootstrapping keys are replicated
+per device (62 MB at default parameters).
 
-This module cannot be exercised in a single-host environment; it is covered
-by the virtual-device mesh tests (tests/test_sharding.py) for the SPMD
-program itself, and kept deliberately thin so the multi-host launch is
-nothing but "initialize, then call the same functions".
+What this module adds over "call jax yourself":
+
+* ``GateSession`` — the whole lifecycle: join the runtime, build the global
+  mesh, generate keys DETERMINISTICALLY (every host derives identical key
+  material from the shared seed, so no key broadcast is needed — a direct
+  payoff of counter-based jax.random keygen, which the reference's
+  thread_rng could never do), place them, and expose the six sharded gates.
+* host-local input/output plumbing: each host contributes only its own
+  slice of the gate batch (``feed``), and reads back only its own outputs
+  (``fetch``) — no host ever materializes the global batch.
+
+Every piece is exercised single-process by tests/test_sharding.py (the
+process-local path degenerates to the full batch); the multi-process path
+adds only ``jax.distributed.initialize``, which has no single-host analogue
+to test against.
 """
 
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..keys import CloudKey, gen_keys
+from ..params import TFHEParams
+from .sharded import shard_cloud_key, sharded_gate_fn
 
 
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """Join the multi-host runtime (arguments resolve from env on TPU pods)."""
+    """Join the multi-host runtime (arguments resolve from env on TPU pods).
+
+    Call once per process before any jax computation; single-process runs
+    may skip it entirely.
+    """
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -39,3 +60,81 @@ def make_global_mesh(model: int = 1):
     from .mesh import make_mesh
 
     return make_mesh(model=model, devices=jax.devices())
+
+
+class GateSession:
+    """Multi-host (or single-host) sharded gate-evaluation session.
+
+    >>> sess = GateSession(jax.random.PRNGKey(0), params)   # every host
+    >>> cts  = sess.feed(local_ciphertexts)                 # host-local in
+    >>> out  = sess.nand(cts_x, cts_y)
+    >>> mine = sess.fetch(out)                              # host-local out
+    """
+
+    def __init__(self, key, params: TFHEParams, engine_name: str = "matmul",
+                 model: int = 1):
+        self.params = params
+        self.engine_name = engine_name
+        self.mesh = make_global_mesh(model=model)
+        # Deterministic keygen: all hosts compute identical key material
+        # from the shared seed — replicated placement needs no broadcast.
+        self.sk, ck = gen_keys(key, params, engine_name)
+        self.ck: CloudKey = shard_cloud_key(ck, self.mesh)
+        self._fns = {
+            kind: sharded_gate_fn(self.mesh, params, engine_name, kind=kind)
+            for kind in ("nand", "and", "or", "xor", "not", "mux")
+        }
+
+    # ------------------------- data plumbing -------------------------- #
+    def feed(self, host_local_cts) -> jax.Array:
+        """Host-local (B_local, n+1) uint32 -> global data-sharded array.
+
+        The global batch is the concatenation of every process's local
+        slice in process order; no host materializes it.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(self.mesh, P("data"))
+        arr = np.asarray(host_local_cts)
+        return jax.make_array_from_process_local_data(sharding, arr)
+
+    def fetch(self, global_out) -> np.ndarray:
+        """Global data-sharded output -> this host's local rows.
+
+        Model-axis replication means several addressable shards cover the
+        same batch rows — deduplicate by range before concatenating.
+        """
+        shards = {}
+        for s in global_out.addressable_shards:
+            shards.setdefault(s.index[0].start or 0, np.asarray(s.data))
+        return np.concatenate([shards[k] for k in sorted(shards)])
+
+    # --------------------------- gate set ----------------------------- #
+    def _g(self, kind, *cts):
+        return self._fns[kind](self.ck.bk, self.ck.ksk, *cts)
+
+    def nand(self, x, y):
+        return self._g("nand", x, y)
+
+    def and_(self, x, y):
+        return self._g("and", x, y)
+
+    def or_(self, x, y):
+        return self._g("or", x, y)
+
+    def xor(self, x, y):
+        return self._g("xor", x, y)
+
+    def not_(self, x):
+        return self._g("not", x)
+
+    def mux(self, c, in0, in1):
+        return self._g("mux", c, in0, in1)
+
+    def decrypt_local(self, global_out) -> np.ndarray:
+        """Decrypt this host's shard (test/debug convenience)."""
+        from .. import tlwe
+
+        return np.asarray(
+            tlwe.decrypt_binary(jnp.asarray(self.fetch(global_out)), self.sk.lv0)
+        )

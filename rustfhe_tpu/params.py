@@ -96,8 +96,9 @@ class TFHEParams:
     @property
     def iks_round(self) -> int:
         """Rounding constant for key-switch decomposition (tlwe.rs:50-54)."""
-        rem = 32 - self.iks_l * self.iks_basebit
-        return (1 << (rem - 1)) if rem != 0 else 0
+        from .decomp import iks_round_constant
+
+        return iks_round_constant(self.iks_basebit, self.iks_l)
 
     @property
     def mu(self) -> int:

@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from . import torus, trlwe
+from . import trlwe
 from .decomp import decompose_signed
 from .params import TFHEParams
 from .utils.rng import gaussian_torus, uniform_torus
@@ -70,14 +70,23 @@ def encrypt_int(key, s, item, params: TFHEParams, engine) -> jnp.ndarray:
     return encrypt_int_poly(key, s, item_poly, params, engine)
 
 
+def _round_phase_to_digit(ph, params: TFHEParams) -> jnp.ndarray:
+    """round(phase * Bg) as EXACT integer arithmetic: the phase encodes
+    m/Bg = m * 2^(32-bgbit), so m = (ph + 2^(31-bgbit)) >> (32-bgbit)
+    (round-half-up), then map to the balanced range (-Bg/2, Bg/2].
+    (The float32 path this replaces silently loses low bits for Bg > 2^8.)"""
+    bg = params.bg
+    shift = 32 - params.bgbit
+    half = jnp.uint32(1 << (shift - 1))
+    m = ((jnp.asarray(ph, U32) + half) >> jnp.uint32(shift)).astype(I32) & (bg - 1)
+    return jnp.where(m > bg // 2, m - bg, m)
+
+
 def decrypt_int_poly(rep, s, params: TFHEParams, engine) -> jnp.ndarray:
     """Read row 0 as a TRLWE of m/Bg and round (trgsw.rs:160-177)."""
     row0 = rep[..., 0, :, :]  # (..., 2, N)
     ph = trlwe.phase(row0, s, params, engine)  # (..., N) torus of m/Bg
-    f = torus.to_double(ph)
-    bg = params.bg
-    res = jnp.round(f * bg).astype(I32)
-    return jnp.where(res > bg // 2, res - bg, res)
+    return _round_phase_to_digit(ph, params)
 
 
 def decrypt_int(rep, s, params: TFHEParams, engine) -> jnp.ndarray:
@@ -87,10 +96,7 @@ def decrypt_int(rep, s, params: TFHEParams, engine) -> jnp.ndarray:
     from . import tlwe  # local import to avoid cycle
 
     ph = tlwe.phase(t, s)
-    f = torus.to_double(ph)
-    bg = params.bg
-    res = jnp.round(f * bg).astype(I32)
-    return jnp.where(res > bg // 2, res - bg, res)
+    return _round_phase_to_digit(ph, params)
 
 
 def encrypt_uint_poly(key, s, item, params: TFHEParams, engine) -> jnp.ndarray:

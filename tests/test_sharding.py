@@ -98,6 +98,29 @@ def test_tp_blind_rotate_bit_exact(setup):
     assert np.array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_multihost_gate_session(setup):
+    # GateSession exercises the production multi-host code paths
+    # (global mesh over all devices, make_array_from_process_local_data,
+    # addressable-shard fetch) in its single-process degenerate form.
+    from rustfhe_tpu.parallel.multihost import GateSession, global_gate_batch_size
+
+    p, sk, ck, cx, cy, ref, bx, by = setup
+    kg, _ = jax.random.split(jax.random.PRNGKey(3))  # the fixture's keygen seed
+    sess = GateSession(kg, p, "matmul", model=2)
+    assert global_gate_batch_size(2) == 16
+    gx = sess.feed(np.asarray(cx))
+    gy = sess.feed(np.asarray(cy))
+    out = sess.nand(gx, gy)
+    # Same seed as the fixture -> identical deterministic keys -> the
+    # sharded result must match the fixture's single-device reference.
+    assert np.array_equal(sess.fetch(out), np.asarray(ref))
+    dec = sess.decrypt_local(out)
+    assert np.array_equal(dec, 1 - (np.asarray(bx) & np.asarray(by)))
+    # xor through the session too (covers the fn table).
+    dec2 = sess.decrypt_local(sess.xor(gx, gy))
+    assert np.array_equal(dec2, np.asarray(bx) ^ np.asarray(by))
+
+
 def test_all_to_all_key_switch_bit_exact(setup):
     # One-hot built batch-sharded, transpose-exchanged (all_to_all) to KSK
     # row shards: must agree bit-for-bit with the psum-only variant.
