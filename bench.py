@@ -62,9 +62,10 @@ def main():
         "fast": FAST_PARAMS,
         "test": TEST_PARAMS,  # CPU smoke runs of the bench logic itself
     }[os.environ.get("BENCH_PARAMS", "default")]
-    # B=16384 measured 7% faster per gate than 8192 (per-step fixed costs —
-    # panel build, dispatch — amortize; BENCH.md 2026-08-19).
-    batch = int(os.environ.get("BENCH_BATCH", "16384"))
+    # Bigger batches amortize per-step fixed costs (panel build, dispatch):
+    # 8192 -> 6,726, 16384 -> 7,205, 32768 -> 7,501, 65536 -> 7,637 gates/s
+    # (BENCH.md 2026-08-19); 65536 still fits HBM comfortably (acc 536 MB).
+    batch = int(os.environ.get("BENCH_BATCH", "65536"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     check_all = os.environ.get("BENCH_GATES", "all") == "all"
 

@@ -84,6 +84,7 @@ class GateSession:
             kind: sharded_gate_fn(self.mesh, params, engine_name, kind=kind)
             for kind in ("nand", "and", "or", "xor", "not", "mux")
         }
+        self._bootstrap_fns: dict = {}
 
     # ------------------------- data plumbing -------------------------- #
     def feed(self, host_local_cts) -> jax.Array:
@@ -130,6 +131,41 @@ class GateSession:
 
     def mux(self, c, in0, in1):
         return self._g("mux", c, in0, in1)
+
+    def bootstrap_raw(self, pre):
+        """Bootstrap a pre-combined batch with the LAST axis pair
+        (..., batch, n+1) where ``batch`` (the axis before the ciphertext
+        axis... here: the trailing lead axis) is data-sharded.
+
+        This is the hook apps/circuits.evaluate_encrypted uses, so the
+        level-fused circuit evaluator runs mesh-sharded unchanged: wire
+        gathers/scatters act on the replicated wire axis, each level's one
+        fused bootstrap shards over ``data``.
+        """
+        from .sharded import _bootstrap_local
+        from ..engine import get_engine
+        from jax.sharding import PartitionSpec as P
+
+        ndim = jnp.ndim(pre)
+        if ndim not in self._bootstrap_fns:
+            engine = get_engine(self.engine_name)
+            params = self.params
+
+            def boot(bk, ksk, pre_local):
+                return _bootstrap_local(pre_local, bk, ksk, params, engine)
+
+            # shard the LEAD batch axis just before the ciphertext axis;
+            # any outer axes (gate lanes) stay replicated.
+            spec = P(*((None,) * (ndim - 2) + ("data",)))
+            self._bootstrap_fns[ndim] = jax.jit(
+                jax.shard_map(
+                    boot,
+                    mesh=self.mesh,
+                    in_specs=(P(), P("model"), spec),
+                    out_specs=spec,
+                )
+            )
+        return self._bootstrap_fns[ndim](self.ck.bk, self.ck.ksk, pre)
 
     def decrypt_local(self, global_out) -> np.ndarray:
         """Decrypt this host's shard (test/debug convenience)."""

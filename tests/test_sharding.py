@@ -121,6 +121,39 @@ def test_multihost_gate_session(setup):
     assert np.array_equal(dec2, np.asarray(bx) ^ np.asarray(by))
 
 
+def test_sharded_circuit_evaluator(setup):
+    # The level-fused circuit evaluator runs mesh-sharded through
+    # GateSession.bootstrap_raw: an adder batch sharded over `data`,
+    # bit-exact vs plaintext evaluation.
+    from rustfhe_tpu.apps.circuits import (
+        evaluate_encrypted,
+        evaluate_plain,
+        ripple_carry_adder,
+    )
+    from rustfhe_tpu.parallel.multihost import GateSession
+
+    p = setup[0]
+    kg, _ = jax.random.split(jax.random.PRNGKey(3))
+    sess = GateSession(kg, p, "matmul", model=2)
+    circuit = ripple_carry_adder(2)
+    rs = np.random.RandomState(4)
+    pairs = rs.randint(0, 4, size=(16, 2))
+    bits = np.array(
+        [[(a >> i) & 1 for i in range(2)] + [(b >> i) & 1 for i in range(2)]
+         for a, b in pairs],
+        dtype=np.uint32,
+    )  # (16, 4)
+    cts = tlwe.encrypt_binary(
+        jax.random.PRNGKey(77), sess.sk.lv0, jnp.asarray(bits), p
+    )  # (16, 4, n+1)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cts = jax.device_put(cts, NamedSharding(sess.mesh, P("data")))
+    out = evaluate_encrypted(circuit, sess, cts)  # (16, 3, n+1)
+    dec = np.asarray(tlwe.decrypt_binary(out, sess.sk.lv0))
+    assert np.array_equal(dec, evaluate_plain(circuit, bits))
+
+
 def test_all_to_all_key_switch_bit_exact(setup):
     # One-hot built batch-sharded, transpose-exchanged (all_to_all) to KSK
     # row shards: must agree bit-for-bit with the psum-only variant.
