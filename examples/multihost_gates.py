@@ -1,0 +1,63 @@
+"""Multi-host gate evaluation example.
+
+One process per host; every process runs THIS script with its own
+process_id.  The same script also runs single-process (no initialize call
+needed), which is how tests/test_sharding.py exercises it.
+
+  # host 0                                     # host k
+  python examples/multihost_gates.py \\
+      --coordinator=host0:1234 --nprocs=4 --pid=0     ... --pid=k
+
+Key facts the session relies on:
+  * keygen is DETERMINISTIC from the shared seed, so every host derives
+    identical key material — there is no key broadcast;
+  * each host feeds only its local slice of the gate batch and reads back
+    only its own outputs (jax.make_array_from_process_local_data);
+  * gate batches shard over `data` (pure DP — the throughput axis), the
+    key-switch table over `model` with exact psum.
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--nprocs", type=int, default=None)
+    ap.add_argument("--pid", type=int, default=None)
+    ap.add_argument("--batch-per-host", type=int, default=64)
+    args = ap.parse_args()
+
+    from rustfhe_tpu import tlwe
+    from rustfhe_tpu.params import DEFAULT_PARAMS as params
+    from rustfhe_tpu.parallel import multihost
+
+    if args.coordinator is not None:
+        multihost.initialize(args.coordinator, args.nprocs, args.pid)
+
+    sess = multihost.GateSession(jax.random.PRNGKey(42), params)
+    print(f"process {jax.process_index()}/{jax.process_count()}: "
+          f"{jax.local_device_count()} local / {jax.device_count()} global devices")
+
+    rs = np.random.RandomState(1000 + jax.process_index())
+    bx = rs.randint(0, 2, size=args.batch_per_host).astype(np.uint32)
+    by = rs.randint(0, 2, size=args.batch_per_host).astype(np.uint32)
+    key = jax.random.fold_in(jax.random.PRNGKey(7), jax.process_index())
+    k1, k2 = jax.random.split(key)
+    cx = sess.feed(np.asarray(tlwe.encrypt_binary(k1, sess.sk.lv0, jnp.asarray(bx), params)))
+    cy = sess.feed(np.asarray(tlwe.encrypt_binary(k2, sess.sk.lv0, jnp.asarray(by), params)))
+
+    out = sess.nand(cx, cy)
+    dec = sess.decrypt_local(out)
+    expect = 1 - (bx & by)
+    ok = np.array_equal(dec, expect)
+    print(f"process {jax.process_index()}: {len(dec)} local NANDs, correct={ok}")
+    assert ok
+
+
+if __name__ == "__main__":
+    main()

@@ -104,6 +104,27 @@ def test_cmux_batched(rng):
     assert np.array_equal(np.asarray(dec), np.asarray(bits1))
 
 
+@pytest.mark.parametrize("N", [256, 512])
+def test_cmux_selects_n512(rng, N):
+    """The reference's CMux is KNOWN BROKEN at N=512/256 after the spqlios
+    introduction (commented-out test + TODO, trgsw.rs:425-456); the exact
+    integer engines here are N-generic, so the same case must pass."""
+    p = TEST_PARAMS.replace(N=N)
+    engine = get_engine("matmul")
+    s, k = _keys(rng, p)
+    k1, k2, k3 = jax.random.split(k, 3)
+    bits = binary_array(k1, (p.N,))
+    ct0 = trlwe.encrypt_binary_poly(k2, s, bits, p, engine)
+    ct1 = trlwe.encrypt_binary_poly(jax.random.fold_in(k2, 1), s, 1 - bits, p, engine)
+    for item in (0, 1):
+        sel = trgsw.encrypt_int(jax.random.fold_in(k3, item), s, jnp.asarray(item, I32), p, engine)
+        prepared = engine.prepare_trgsw(sel, p)
+        out = trgsw.cmux(prepared, ct1, ct0, p, engine)
+        dec = trlwe.decrypt_binary_poly(out, s, p, engine)
+        expect = (1 - bits) if item == 1 else bits
+        assert np.array_equal(np.asarray(dec), np.asarray(expect)), N
+
+
 def test_round_trip_item_types(rng):
     # All reference-supported TRGSW item types (trgsw.rs:17-21).
     p = TEST_PARAMS
