@@ -242,6 +242,58 @@ def evaluate_encrypted(circuit: Circuit, ctx, ct_inputs,
     return jnp.moveaxis(result, 0, -2)
 
 
+def ripple_borrow_subtractor(n_bits: int) -> Circuit:
+    """n-bit ripple-borrow subtractor a - b: inputs a[0..n), b[0..n)
+    (LSB first); outputs diff[0..n) then borrow-out (1 iff a < b).
+    Full subtractor per bit: d = a^b^bin,
+    bout = (~a & b) | (~(a^b) & bin)."""
+    c = Circuit(n_inputs=2 * n_bits)
+    borrow = None
+    diffs = []
+    for i in range(n_bits):
+        a, b = i, n_bits + i
+        axb = c.xor(a, b)
+        if borrow is None:
+            diffs.append(axb)
+            borrow = c.and_(c.not_(a), b)
+        else:
+            diffs.append(c.xor(axb, borrow))
+            t1 = c.and_(c.not_(a), b)
+            t2 = c.and_(c.not_(axb), borrow)
+            borrow = c.or_(t1, t2)
+    c.outputs = diffs + [borrow]
+    return c
+
+
+def comparator(n_bits: int) -> Circuit:
+    """n-bit unsigned comparator: inputs a[0..n), b[0..n) (LSB first);
+    outputs [lt, eq, gt].  lt = borrow-out of a - b; eq = AND-tree over
+    per-bit XNORs; gt = ~(lt | eq)."""
+    c = Circuit(n_inputs=2 * n_bits)
+    borrow = None
+    eqs = []
+    for i in range(n_bits):
+        a, b = i, n_bits + i
+        axb = c.xor(a, b)
+        eqs.append(c.not_(axb))
+        if borrow is None:
+            borrow = c.and_(c.not_(a), b)
+        else:
+            t1 = c.and_(c.not_(a), b)
+            t2 = c.and_(c.not_(axb), borrow)
+            borrow = c.or_(t1, t2)
+    # Balanced AND-tree keeps the equality depth logarithmic.
+    while len(eqs) > 1:
+        eqs = [
+            c.and_(eqs[j], eqs[j + 1]) if j + 1 < len(eqs) else eqs[j]
+            for j in range(0, len(eqs), 2)
+        ]
+    eq = eqs[0]
+    gt = c.not_(c.or_(borrow, eq))
+    c.outputs = [borrow, eq, gt]
+    return c
+
+
 def ripple_carry_adder(n_bits: int) -> Circuit:
     """n-bit ripple-carry adder: inputs a[0..n), b[0..n) (LSB first);
     outputs sum[0..n) then carry-out.  Full adder per bit:

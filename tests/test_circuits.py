@@ -8,8 +8,10 @@ import pytest
 
 from rustfhe_tpu.apps.circuits import (
     Circuit,
+    comparator,
     evaluate_encrypted,
     evaluate_plain,
+    ripple_borrow_subtractor,
     ripple_carry_adder,
 )
 from rustfhe_tpu.context import TFHE
@@ -120,3 +122,69 @@ def test_large_circuit_1k_gates(ctx):
     for k, (a, b) in enumerate(vals):
         total = sum(int(dec[9 * k + i]) << i for i in range(9))
         assert total == a + b, (k, a, b, total)
+
+
+def _bits_of(v, n):
+    return [(v >> i) & 1 for i in range(n)]
+
+
+def test_subtractor_plain_exhaustive_4bit():
+    c = ripple_borrow_subtractor(4)
+    for a in range(16):
+        for b in range(16):
+            out = evaluate_plain(c, np.array(_bits_of(a, 4) + _bits_of(b, 4)))
+            diff = sum(int(out[i]) << i for i in range(4))
+            assert diff == (a - b) % 16, (a, b, diff)
+            assert int(out[4]) == (1 if a < b else 0), (a, b)
+
+
+def test_comparator_plain_exhaustive_4bit():
+    c = comparator(4)
+    for a in range(16):
+        for b in range(16):
+            lt, eq, gt = evaluate_plain(c, np.array(_bits_of(a, 4) + _bits_of(b, 4)))
+            assert (int(lt), int(eq), int(gt)) == (
+                int(a < b), int(a == b), int(a > b)
+            ), (a, b)
+
+
+def test_encrypted_subtractor_comparator(ctx):
+    sub = ripple_borrow_subtractor(8)
+    cmp8 = comparator(8)
+    for a, b in [(200, 100), (100, 200), (85, 85), (0, 255)]:
+        bits = jnp.asarray(np.array(_bits_of(a, 8) + _bits_of(b, 8), np.uint32))
+        cts = ctx.encrypt(bits)
+        d = np.asarray(ctx.decrypt(evaluate_encrypted(sub, ctx, cts)))
+        diff = sum(int(d[i]) << i for i in range(8))
+        assert diff == (a - b) % 256 and int(d[8]) == int(a < b), (a, b, d)
+        lt, eq, gt = np.asarray(ctx.decrypt(evaluate_encrypted(cmp8, ctx, cts)))
+        assert (int(lt), int(eq), int(gt)) == (int(a < b), int(a == b), int(a > b))
+
+
+def test_random_dag_fuzz_encrypted_vs_plain(ctx):
+    """Random 48-gate DAGs over all six ops through the level-fused
+    evaluator agree with plaintext evaluation (topology fuzz: mixed-op
+    levels, fan-out, mux three-input wiring, dead gates)."""
+    rs = np.random.RandomState(7)
+    n_in = 8
+    c = Circuit(n_inputs=n_in)
+    wires = list(range(n_in))
+    ops2 = ["nand", "and", "or", "xor"]
+    for _ in range(48):
+        r = rs.rand()
+        if r < 0.15:
+            w = c.not_(int(rs.choice(wires)))
+        elif r < 0.30:
+            ctrl, i0, i1 = (int(x) for x in rs.choice(wires, 3))
+            w = c.mux(ctrl, i0, i1)
+        else:
+            a, b = (int(x) for x in rs.choice(wires, 2))
+            w = c.add(ops2[rs.randint(4)], a, b)
+        wires.append(w)
+    c.outputs = [int(x) for x in rs.choice(wires, 8)]
+
+    bits = rs.randint(0, 2, size=(3, n_in)).astype(np.uint32)
+    plain = evaluate_plain(c, bits)
+    cts = ctx.encrypt(jnp.asarray(bits))
+    dec = np.asarray(ctx.decrypt(evaluate_encrypted(c, ctx, cts)))
+    assert np.array_equal(dec, plain)
