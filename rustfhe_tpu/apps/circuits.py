@@ -126,17 +126,9 @@ def _bucket(k: int) -> int:
 
 # Every primitive gate's pre-combination is linear in (x, y, mu):
 # pre = ca*x + cb*y + cm*mu (mod 2^32), followed by the SAME bootstrap
-# (reference formulas tfhe.rs:27-71).  "andn" is AND with the first input
-# negated — the second half of the reference MUX decomposition
-# ((!c & in0), tfhe.rs:29-39).
-_COEFFS = {
-    "nand": (-1, -1, 1),
-    "and": (1, 1, -1),
-    "or": (1, 1, 1),
-    "xor": (2, 2, 2),
-    "not": (-1, 0, 0),
-    "andn": (-1, 1, -1),
-}
+# (reference formulas tfhe.rs:27-71).  Canonical table lives in
+# gates.PRE_COEFFS; re-exported here under the historical name.
+from ..gates import PRE_COEFFS as _COEFFS  # noqa: E402
 
 
 def lower(circuit: Circuit):

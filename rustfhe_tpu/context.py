@@ -70,26 +70,41 @@ class TFHE:
         return TFHE(None, self.ck, self.params, self.engine_name)
 
     # -------------------------- gate set ------------------------------ #
+    # Every gate = eager linear pre-combination (gates.precombine) + the
+    # SHARED hom_bootstrap program, so all six ops reuse one compiled
+    # 635-step scan per batch shape (bit-identical to the per-op hom_*
+    # wrappers, which each compile their own program; compiles through the
+    # TPU remote-compile tunnel take minutes, so sharing matters for the
+    # REPL/circuit flows that mix ops at one shape).
     def _g(self, fn, *args):
         return fn(self.ck, *args, params=self.params, engine_name=self.engine_name)
 
+    def _gate(self, op, x, y=None):
+        return self._g(gates.hom_bootstrap, gates.precombine(op, x, y, params=self.params))
+
     def nand(self, x, y):
-        return self._g(gates.hom_nand, x, y)
+        return self._gate("nand", x, y)
 
     def and_(self, x, y):
-        return self._g(gates.hom_and, x, y)
+        return self._gate("and", x, y)
 
     def or_(self, x, y):
-        return self._g(gates.hom_or, x, y)
+        return self._gate("or", x, y)
 
     def xor(self, x, y):
-        return self._g(gates.hom_xor, x, y)
+        return self._gate("xor", x, y)
 
     def not_(self, x):
-        return self._g(gates.hom_not, x)
+        return self._gate("not", x)
 
     def mux(self, control, in0, in1):
-        return self._g(gates.hom_mux, control, in0, in1)
+        """(in1 & control) | (in0 & !control): the two independent ANDs run
+        as ONE double-width bootstrap batch, then one OR pass (tfhe.rs:27-40
+        composition at two bootstrap passes of latency, not three)."""
+        pre_a = gates.precombine("and", control, in1, params=self.params)
+        pre_b = gates.precombine("andn", control, in0, params=self.params)
+        both = self.bootstrap_raw(jnp.stack([pre_a, pre_b]))
+        return self._gate("or", both[0], both[1])
 
     def bootstrap_raw(self, pre):
         """Bootstrap a pre-combined batch (for fused circuit levels)."""

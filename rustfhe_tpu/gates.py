@@ -95,3 +95,34 @@ def hom_mux(ck: CloudKey, control, in0, in1, *, params: TFHEParams, engine_name:
 
 
 GATES_2IN = {"nand": hom_nand, "and": hom_and, "or": hom_or, "xor": hom_xor}
+
+# Linear pre-combination coefficients (ca, cb, c_mu): pre = ca*x + cb*y +
+# c_mu*mu*e_0, the first half of every gate formula (tfhe.rs:27-71).
+# "andn" is and(!x, y), the mux first-pass helper (tfhe.rs:29-33).
+PRE_COEFFS = {
+    "nand": (-1, -1, 1),
+    "and": (1, 1, -1),
+    "or": (1, 1, 1),
+    "xor": (2, 2, 2),
+    "not": (-1, 0, 0),
+    "andn": (-1, 1, -1),
+}
+
+
+def precombine(op: str, x, y=None, *, params: TFHEParams):
+    """Linear gate pre-combination, evaluated EAGERLY (outside any jit).
+
+    Pairing this with the shared ``hom_bootstrap`` program means every gate
+    op reuses ONE compiled 635-step scan per batch shape — the per-op
+    ``hom_*`` wrappers each compile their own.  The pre-combination is 2-3
+    vector ops (<0.1% of a bootstrap), so eager dispatch costs nothing;
+    avoiding three extra multi-minute remote compiles on first use is the
+    point (see apps/nander.FheLogic, apps/circuits.evaluate_encrypted).
+    """
+    ca, cb, cm = PRE_COEFFS[op]
+    pre = (jnp.asarray(x, U32) * U32(ca & 0xFFFFFFFF)).astype(U32)
+    if cb:
+        pre = (pre + jnp.asarray(y, U32) * U32(cb & 0xFFFFFFFF)).astype(U32)
+    if cm:
+        pre = pre.at[..., 0].add(U32((cm * params.mu) & 0xFFFFFFFF))
+    return pre
