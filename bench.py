@@ -63,9 +63,10 @@ def main():
         "test": TEST_PARAMS,  # CPU smoke runs of the bench logic itself
     }[os.environ.get("BENCH_PARAMS", "default")]
     # Bigger batches amortize per-step fixed costs (panel build, dispatch):
-    # 8192 -> 6,726, 16384 -> 7,205, 32768 -> 7,501, 65536 -> 7,637 gates/s
-    # (BENCH.md 2026-08-19); 65536 still fits HBM comfortably (acc 536 MB).
-    batch = int(os.environ.get("BENCH_BATCH", "65536"))
+    # 8192 -> 6,726, 16384 -> 7,205, 32768 -> 7,501, 65536 -> 7,637,
+    # 131072 -> 7,733 gates/s (BENCH.md 2026-08-19); 131072 still fits HBM
+    # (acc 1.07 GB) at a 17 s batch latency.
+    batch = int(os.environ.get("BENCH_BATCH", "131072"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     check_all = os.environ.get("BENCH_GATES", "all") == "all"
 
