@@ -42,7 +42,6 @@ def log(msg):
 def main():
     from rustfhe_tpu import gates, keys, tlwe
     from rustfhe_tpu.apps.circuits import (
-        _COEFFS,
         evaluate_encrypted,
         evaluate_plain,
         ripple_carry_adder,
@@ -83,55 +82,50 @@ def main():
     jax.block_until_ready(ck)
     log(f"# keygen: {time.perf_counter() - t0:.2f}s")
 
-    rs = np.random.RandomState(2024)
-    mu = p.mu
-
     def encrypt(bits, salt):
         return tlwe.encrypt_binary(
             jax.random.fold_in(ke, salt), sk.lv0, jnp.asarray(bits, U32), p
         )
 
     def pre_of(op, cx, cy):
-        ca, cb, cm = _COEFFS[op]
-        out = (cx * U32(ca & 0xFFFFFFFF) + cy * U32(cb & 0xFFFFFFFF)).astype(U32)
-        return out.at[..., 0].add(U32((cm * mu) & 0xFFFFFFFF))
-
-    # ----------------------------------------------------------------- #
-    # Mixed correctness batch: segments for nand/and/or/xor/not + the two
-    # first-pass MUX lanes, all through ONE bootstrap program.
-    # ----------------------------------------------------------------- #
-    seg_w = max(64, batch // 8)
-    segs = []  # (op, bits_x, bits_y, pre)
-    salt = 0
-    for op in ("nand", "and", "or", "xor"):
-        bx = np.tile([0, 1, 0, 1], seg_w // 4 + 1)[:seg_w].astype(np.uint32)
-        by = np.tile([0, 0, 1, 1], seg_w // 4 + 1)[:seg_w].astype(np.uint32)
-        cx, cy = encrypt(bx, salt), encrypt(by, salt + 1)
-        salt += 2
-        segs.append((op, bx, by, pre_of(op, cx, cy)))
-    bx = np.tile([0, 1], seg_w // 2)[:seg_w].astype(np.uint32)
-    cxn = encrypt(bx, salt)
-    salt += 1
-    segs.append(("not", bx, bx, pre_of("not", cxn, cxn)))
-    # MUX: all 8 (control, in0, in1) combos tiled.
-    combos = np.array([[c, a, b] for c in (0, 1) for a in (0, 1) for b in (0, 1)])
-    mx = np.tile(combos, (seg_w // 8 + 1, 1))[:seg_w]
-    c_ct = encrypt(mx[:, 0], salt)
-    i0_ct = encrypt(mx[:, 1], salt + 1)
-    i1_ct = encrypt(mx[:, 2], salt + 2)
-    salt += 3
-    segs.append(("mux_a", mx[:, 0], mx[:, 2], pre_of("and", c_ct, i1_ct)))
-    segs.append(("mux_b", mx[:, 0], mx[:, 1], pre_of("andn", c_ct, i0_ct)))
-
-    total = len(segs) * seg_w
-    b0 = max(batch, total)  # == batch whenever batch >= 7*seg_w (normal case)
-    pre_mixed = jnp.concatenate([s[3] for s in segs], axis=0)
-    if total < b0:  # pad with extra NAND rows so shapes match the metric
-        pre_mixed = jnp.concatenate(
-            [pre_mixed, jnp.tile(segs[0][3], ((b0 - total) // seg_w + 1, 1))[: b0 - total]]
-        )
+        return gates.precombine(op, cx, cy, params=p)
 
     if check_all:
+        # ------------------------------------------------------------- #
+        # Mixed correctness batch: segments for nand/and/or/xor/not + the
+        # two first-pass MUX lanes, all through ONE bootstrap program.
+        # ------------------------------------------------------------- #
+        seg_w = max(64, batch // 8)
+        segs = []  # (op, bits_x, bits_y, pre)
+        salt = 0
+        for op in ("nand", "and", "or", "xor"):
+            bx = np.tile([0, 1, 0, 1], seg_w // 4 + 1)[:seg_w].astype(np.uint32)
+            by = np.tile([0, 0, 1, 1], seg_w // 4 + 1)[:seg_w].astype(np.uint32)
+            cx, cy = encrypt(bx, salt), encrypt(by, salt + 1)
+            salt += 2
+            segs.append((op, bx, by, pre_of(op, cx, cy)))
+        bx = np.tile([0, 1], seg_w // 2)[:seg_w].astype(np.uint32)
+        cxn = encrypt(bx, salt)
+        salt += 1
+        segs.append(("not", bx, bx, pre_of("not", cxn, cxn)))
+        # MUX: all 8 (control, in0, in1) combos tiled.
+        combos = np.array([[c, a, b] for c in (0, 1) for a in (0, 1) for b in (0, 1)])
+        mx = np.tile(combos, (seg_w // 8 + 1, 1))[:seg_w]
+        c_ct = encrypt(mx[:, 0], salt)
+        i0_ct = encrypt(mx[:, 1], salt + 1)
+        i1_ct = encrypt(mx[:, 2], salt + 2)
+        salt += 3
+        segs.append(("mux_a", mx[:, 0], mx[:, 2], pre_of("and", c_ct, i1_ct)))
+        segs.append(("mux_b", mx[:, 0], mx[:, 1], pre_of("andn", c_ct, i0_ct)))
+
+        total = len(segs) * seg_w
+        b0 = max(batch, total)  # == batch whenever batch >= 7*seg_w
+        pre_mixed = jnp.concatenate([s[3] for s in segs], axis=0)
+        if total < b0:  # pad with extra NAND rows so shapes match the metric
+            pre_mixed = jnp.concatenate(
+                [pre_mixed, jnp.tile(segs[0][3], ((b0 - total) // seg_w + 1, 1))[: b0 - total]]
+            )
+
         t0 = time.perf_counter()
         out_mixed = jax.block_until_ready(
             gates.hom_bootstrap(ck, pre_mixed, params=p, engine_name=engine_name)

@@ -20,7 +20,6 @@ import numpy as np
 U32 = jnp.uint32
 
 # gate ops: 2-input ops plus NOT and MUX
-_OPS2 = ("nand", "and", "or", "xor")
 
 
 @dataclass

@@ -151,13 +151,19 @@ def prepare_panels(rows_u32: np.ndarray, N: int) -> np.ndarray:
 # --------------------------------------------------------------------- #
 # Exact jnp pipeline (int32 dots — correctness path, not the perf path)
 # --------------------------------------------------------------------- #
+def dlimb_split(F):
+    """Balanced base-2^DLIMB_BITS split of transform values F into
+    (f0, f1) int32 planes with F == f0 + f1 * 2^DLIMB_BITS."""
+    f1 = (F + (1 << (DLIMB_BITS - 1))) >> DLIMB_BITS
+    f0 = F - (f1 << DLIMB_BITS)
+    return f0, f1
+
+
 def forward_digits(digits, Mf):
     """digits (..., 2L, N) int32 -> dlimb planes (f0, f1), each (..., 2L, 2N)
     int32 (balanced base-2^6 split of the transform values)."""
     F = jnp.einsum("...n,nk->...k", digits.astype(I32), Mf.astype(I32))
-    f1 = (F + (1 << (DLIMB_BITS - 1))) >> DLIMB_BITS
-    f0 = F - (f1 << DLIMB_BITS)
-    return f0, f1
+    return dlimb_split(F)
 
 
 def pointwise(f0, f1, panels, m: int):
@@ -195,21 +201,28 @@ def relimb(parts):
     return jnp.stack(limbs, axis=-2)  # (..., BLIMBS, 2N)
 
 
+def abc_combine(W, sh: int):
+    """Exact /2^sh recovery mod 2^32 from BLIMBS=5 inverse-transform limb
+    planes W (..., BLIMBS, n): S = A + B*2^16 + C*2^32 with 2^sh | A, so
+    c = (A >> sh) + (B << (16-sh)) + (C << (32-sh))."""
+    A = W[..., 0, :] + (W[..., 1, :] << 8)
+    B = W[..., 2, :] + (W[..., 3, :] << 8)
+    C = W[..., 4, :]
+    # A >> sh must be an ARITHMETIC shift (A is signed; 2^sh | A exactly).
+    return (
+        (A >> sh).astype(U32)
+        + (B.astype(U32) << U32(16 - sh))
+        + (C.astype(U32) << U32(32 - sh))
+    ).astype(U32)
+
+
 def inverse_combine(limbs, Mi, N: int):
     """limbs (..., BLIMBS, 2N) int32 -> uint32 (..., N): inverse transform
     per limb plane, then the exact division by 2r via the A/B/C shifts."""
     _, r = split_mr(N)
     sh = (2 * r).bit_length() - 1
     W = jnp.einsum("...k,kn->...n", limbs.astype(I32), Mi.astype(I32))
-    A = W[..., 0, :] + (W[..., 1, :] << 8)
-    B = W[..., 2, :] + (W[..., 3, :] << 8)
-    C = W[..., 4, :]
-    # A >> sh must be an ARITHMETIC shift (A is signed; 2r | A exactly).
-    return (
-        (A >> sh).astype(U32)
-        + (B.astype(U32) << U32(16 - sh))
-        + (C.astype(U32) << U32(32 - sh))
-    ).astype(U32)
+    return abc_combine(W, sh)
 
 
 class NussTransformEngine:

@@ -32,8 +32,8 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..engine.transform import (
-    BLIMBS,
-    forward_digits,
+    abc_combine,
+    dlimb_split,
     forward_matrix,
     inverse_matrix,
     pointwise,
@@ -47,10 +47,10 @@ U32 = jnp.uint32
 
 def degree_sharded_external_product_fn(mesh: Mesh, params, axis: str = "model"):
     """Build a jitted external product over digit polys N-sharded on
-    ``axis``.  Returns (fn, shard_panels) where
-    fn(panels_sharded, digits) -> uint32 (..., 2, N) with the last axis
-    sharded on ``axis``; digits int32 (..., 2L, N) sharded the same way.
-    """
+    ``axis``: fn(panels_sharded, digits) -> uint32 (..., 2, N) with the
+    last axis sharded on ``axis``; digits int32 (..., 2L, N) sharded the
+    same way (any number of leading batch axes; the shard_map is built per
+    input rank on first use)."""
     N = params.N
     m, r = split_mr(N)
     D = mesh.shape[axis]
@@ -72,8 +72,7 @@ def degree_sharded_external_product_fn(mesh: Mesh, params, axis: str = "model"):
         F_loc = jax.lax.psum_scatter(
             F_part, axis, scatter_dimension=F_part.ndim - 1, tiled=True
         )  # (..., 2L, 2N/D)
-        f1 = (F_loc + 32) >> 6
-        f0 = F_loc - (f1 << 6)
+        f0, f1 = dlimb_split(F_loc)
         parts = pointwise(f0, f1, panels_loc, m)   # (..., 2, BLIMBS, 2N/D)
         limbs = relimb(parts)                      # local carry chain
         mi_rows = jax.lax.dynamic_slice_in_dim(
@@ -85,27 +84,26 @@ def degree_sharded_external_product_fn(mesh: Mesh, params, axis: str = "model"):
         W_loc = jax.lax.psum_scatter(
             W_part, axis, scatter_dimension=W_part.ndim - 1, tiled=True
         )  # (..., 2, BLIMBS, N/D)
-        A = W_loc[..., 0, :] + (W_loc[..., 1, :] << 8)
-        B = W_loc[..., 2, :] + (W_loc[..., 3, :] << 8)
-        C = W_loc[..., 4, :]
-        # arithmetic shift on the signed A (2r | A exactly)
-        return (
-            (A >> sh).astype(U32)
-            + (B.astype(U32) << U32(16 - sh))
-            + (C.astype(U32) << U32(32 - sh))
-        ).astype(U32)
+        return abc_combine(W_loc, sh)
 
-    spec_panels = P(axis)        # (2r, rows, cols) sharded on frequencies
-    spec_digits = P(None, None, axis)  # (..., 2L, N): N sharded
-    spec_out = P(None, None, axis)     # (..., 2, N): N sharded
+    spec_panels = P(axis)  # (2r, rows, cols) sharded on frequencies
+    fns = {}
 
-    mapped = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(spec_panels, spec_digits),
-        out_specs=spec_out,
-    )
-    return jax.jit(mapped)
+    def call(panels_sharded, digits):
+        nd = jnp.ndim(digits)
+        if nd not in fns:
+            spec_io = P(*((None,) * (nd - 1) + (axis,)))  # N-axis sharded
+            fns[nd] = jax.jit(
+                jax.shard_map(
+                    local,
+                    mesh=mesh,
+                    in_specs=(spec_panels, spec_io),
+                    out_specs=spec_io,
+                )
+            )
+        return fns[nd](panels_sharded, digits)
+
+    return call
 
 
 def shard_transform_panels(panels, mesh: Mesh, axis: str = "model"):

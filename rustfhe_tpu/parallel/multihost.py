@@ -147,17 +147,22 @@ class GateSession:
         from jax.sharding import PartitionSpec as P
 
         ndim = jnp.ndim(pre)
-        if ndim not in self._bootstrap_fns:
+        # shard the LEAD batch axis just before the ciphertext axis; any
+        # outer axes (gate lanes) stay replicated.  Batches too small (or
+        # uneven) for the data axis — e.g. a 1-2 gate circuit level in
+        # unbatched evaluation — fall back to replicated compute rather
+        # than tripping shard_map's divisibility check.
+        shard_batch = jnp.shape(pre)[-2] % self.mesh.shape["data"] == 0
+        cache_key = (ndim, shard_batch)
+        if cache_key not in self._bootstrap_fns:
             engine = get_engine(self.engine_name)
             params = self.params
 
             def boot(bk, ksk, pre_local):
                 return _bootstrap_local(pre_local, bk, ksk, params, engine)
 
-            # shard the LEAD batch axis just before the ciphertext axis;
-            # any outer axes (gate lanes) stay replicated.
-            spec = P(*((None,) * (ndim - 2) + ("data",)))
-            self._bootstrap_fns[ndim] = jax.jit(
+            spec = P(*((None,) * (ndim - 2) + ("data",))) if shard_batch else P()
+            self._bootstrap_fns[cache_key] = jax.jit(
                 jax.shard_map(
                     boot,
                     mesh=self.mesh,
@@ -165,7 +170,7 @@ class GateSession:
                     out_specs=spec,
                 )
             )
-        return self._bootstrap_fns[ndim](self.ck.bk, self.ck.ksk, pre)
+        return self._bootstrap_fns[cache_key](self.ck.bk, self.ck.ksk, pre)
 
     def decrypt_local(self, global_out) -> np.ndarray:
         """Decrypt this host's shard (test/debug convenience)."""

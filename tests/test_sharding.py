@@ -167,3 +167,28 @@ def test_all_to_all_key_switch_bit_exact(setup):
     fn = sharded_gate_fn(mesh, p, "matmul", kind="nand", key_switch="all_to_all")
     out = fn(bk, ksk, cx, cy)
     assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_sharded_circuit_unbatched_small_levels(setup):
+    # Regression: unbatched evaluation (cts (n_inputs, n+1)) produces 2D
+    # pre batches whose gate-lane axis (bucket sizes 1-2) is smaller than
+    # the data axis; bootstrap_raw must fall back to replicated compute
+    # instead of tripping shard_map's divisibility check.
+    from rustfhe_tpu.apps.circuits import (
+        Circuit,
+        evaluate_encrypted,
+        evaluate_plain,
+    )
+    from rustfhe_tpu.parallel.multihost import GateSession
+
+    p = setup[0]
+    kg, _ = jax.random.split(jax.random.PRNGKey(3))
+    sess = GateSession(kg, p, "matmul", model=2)
+    c = Circuit(n_inputs=2)
+    w = c.xor(0, 1)          # level 1: one gate
+    c.outputs = [c.nand(w, 0)]  # level 2: one gate
+    bits = np.array([1, 0], np.uint32)
+    cts = tlwe.encrypt_binary(jax.random.PRNGKey(5), sess.sk.lv0, jnp.asarray(bits), p)
+    out = evaluate_encrypted(c, sess, cts)  # (1, n+1)
+    dec = np.asarray(tlwe.decrypt_binary(out, sess.sk.lv0))
+    assert np.array_equal(dec, evaluate_plain(c, bits))
