@@ -82,3 +82,30 @@ def test_degree_sharded_bit_exact(model):
     panels_sh = shard_transform_panels(panels, mesh, axis="model")
     got = fn(panels_sh, digits)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_degree_sharded_rank_generality():
+    # The shard_map is built per input rank: unbatched (2L, N) digits and a
+    # two-lead-axis batch must both work and agree with the unsharded engine.
+    from rustfhe_tpu.parallel.degree_sharded import (
+        degree_sharded_external_product_fn,
+        shard_transform_panels,
+    )
+    from rustfhe_tpu.parallel.mesh import make_mesh
+
+    params = TFHEParams(n=16, N=64)
+    rows, digits = _vectors(params, 6, 303)  # digits (6, 2L, N)
+    eng = get_engine("nuss")
+    panels = eng.prepare_trgsw(rows, params)
+    want = np.asarray(eng.external_product_digits(panels, digits, params))
+
+    mesh = make_mesh(data=4, model=2)
+    fn = degree_sharded_external_product_fn(mesh, params, axis="model")
+    panels_sh = shard_transform_panels(panels, mesh, axis="model")
+    # unbatched: (2L, N) -> (2, N)
+    got0 = np.asarray(fn(panels_sh, digits[0]))
+    assert np.array_equal(got0, want[0])
+    # two leading axes: (2, 3, 2L, N) -> (2, 3, 2, N)
+    d2 = jnp.reshape(digits, (2, 3) + digits.shape[1:])
+    got2 = np.asarray(fn(panels_sh, d2))
+    assert np.array_equal(got2, want.reshape(2, 3, *want.shape[1:]))
