@@ -156,24 +156,30 @@ class MatmulEngine:
     def key_switch_digits(self, prepared, digits, params):
         """digits: (..., N, iks_l) in [0, T) -> sum_{i,l} KS[i,l,d] as uint32 (..., n+1).
 
-        Implemented as onehot(digits) @ limb-split KSK on the MXU: the one-hot
-        has at most N*iks_l nonzeros, so int32/f32 accumulation stays exact
-        (|sum| <= N*iks_l * 2^(limb_bits-1) << 2^24).
+        Implemented as ONE (digit == t) mask dot per nonzero slot t against
+        that slot's KSK row slice (nslots = T-1 small dots instead of one
+        dot over a (…, N*L*nslots) one-hot): same MACs, but the operand is
+        built without the 3-wide innermost broadcast axis whose relayout
+        dominated the fused one-hot variant — measured 8.7 vs 24.3 ms per
+        switch at B=8192 (benches/keyswitch_probe.py, 2026-08-19).
+        Accumulation stays exact (|sum| <= N*iks_l * 2^(limb_bits-1) << 2^24).
         """
         nslots = params.iks_t - 1
-        d = digits.astype(jnp.int32)  # (..., N, L)
-        t = jnp.arange(1, params.iks_t, dtype=jnp.int32)  # (nslots,)
-        onehot = (d[..., None] == t).astype(I8)  # (..., N, L, nslots)
-        q = params.N * params.iks_l * nslots
-        onehot = onehot.reshape(onehot.shape[: -3] + (q,))
-        if self.use_bf16:
-            out = jnp.dot(
-                onehot.astype(jnp.bfloat16),
-                prepared.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            ).astype(I32)
-        else:
-            out = jnp.dot(onehot, prepared, preferred_element_type=I32)
+        il = params.N * params.iks_l
+        d = digits.astype(jnp.int32).reshape(digits.shape[:-2] + (il,))
+        ks3 = prepared.reshape(il, nslots, prepared.shape[-1])
+        out = None
+        for t in range(1, params.iks_t):
+            m = (d == t).astype(I8)
+            if self.use_bf16:
+                part = jnp.dot(
+                    m.astype(jnp.bfloat16),
+                    ks3[:, t - 1].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ).astype(I32)
+            else:
+                part = jnp.dot(m, ks3[:, t - 1], preferred_element_type=I32)
+            out = part if out is None else out + part
         out = out.reshape(out.shape[:-1] + (out.shape[-1] // self.num_limbs, self.num_limbs))
         # (..., n+1, K) -> recombine limbs
         acc = jnp.zeros(out.shape[:-1], U32)

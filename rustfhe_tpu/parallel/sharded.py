@@ -45,15 +45,23 @@ def _key_switch_local(ct_lv1, ksk_local, params: TFHEParams, engine, axis_name: 
     a = tlwe.mask(ct_lv1)
     digits = decompose_unsigned(a, params)  # (..., N, iks_l)
     nslots = params.iks_t - 1
-    t = jnp.arange(1, params.iks_t, dtype=I32)
-    onehot = (digits.astype(I32)[..., None] == t).astype(I8)
-    q_total = params.N * params.iks_l * nslots
-    onehot = onehot.reshape(onehot.shape[:-3] + (q_total,))
+    il = params.N * params.iks_l
+    d = digits.astype(I32).reshape(digits.shape[:-2] + (il,))
 
+    # Per-slot mask dots over this device's (i, l) row range (the t axis is
+    # innermost in the prepared layout, so a contiguous row shard is a whole
+    # number of (i, l) groups) — same formulation as the unsharded engine.
     q_local = ksk_local.shape[0]
-    start = jax.lax.axis_index(axis_name) * q_local
-    local_onehot = jax.lax.dynamic_slice_in_dim(onehot, start, q_local, axis=-1)
-    out = jnp.dot(local_onehot, ksk_local, preferred_element_type=I32)
+    assert q_local % nslots == 0, (q_local, nslots)
+    il_local = q_local // nslots
+    start = jax.lax.axis_index(axis_name) * il_local
+    d_local = jax.lax.dynamic_slice_in_dim(d, start, il_local, axis=-1)
+    ks3 = ksk_local.reshape(il_local, nslots, ksk_local.shape[-1])
+    out = None
+    for t in range(1, params.iks_t):
+        m = (d_local == t).astype(I8)
+        part = jnp.dot(m, ks3[:, t - 1], preferred_element_type=I32)
+        out = part if out is None else out + part
     out = jax.lax.psum(out, axis_name)  # exact: integer partial sums
     K = engine.num_limbs
     out = out.reshape(out.shape[:-1] + (out.shape[-1] // K, K))
