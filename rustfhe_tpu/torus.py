@@ -83,3 +83,15 @@ def pow_two_minus(k: int) -> np.uint32:
         return np.uint32(0)
     k = min(k, 32)
     return np.uint32((1 << (32 - k)) & 0xFFFFFFFF)
+
+
+def is_in(a, b, radius_pow: int = 10) -> jnp.ndarray:
+    """Wrapping approximate equality on the torus circle: True where the
+    circular distance |a - b| (mod 1) is below 2^-radius_pow (the analogue
+    of ``Decimal::is_in``, math.rs:617-621 — used for noise-tolerant
+    comparisons in probabilistic tests)."""
+    a = jnp.asarray(a, U32)
+    b = jnp.asarray(b, U32)
+    d = (a - b).astype(U32)
+    dist = jnp.minimum(d, (-d).astype(U32))  # min(d, 2^32 - d)
+    return dist < pow_two_minus(radius_pow)

@@ -64,3 +64,14 @@ def test_pow_two_minus():
     assert torus.pow_two_minus(0) == 0
     assert torus.pow_two_minus(32) == 1
     assert torus.pow_two_minus(31) == 2
+
+
+def test_is_in_wrapping_distance():
+    # math.rs:617-621: approx-compare respects the torus wraparound.
+    a = jnp.array([0x00000000, 0xFFFFFFF0, 0x80000000, 0x40000000], U32)
+    b = jnp.array([0x00000010, 0x00000010, 0x80000100, 0xC0000000], U32)
+    got = np.asarray(torus.is_in(a, b, radius_pow=10))
+    # distances: 0x10 (tiny), 0x20 across the wrap (tiny), 0x100 (tiny), 0.5 (max)
+    assert got.tolist() == [True, True, True, False]
+    assert not bool(torus.is_in(jnp.uint32(0), jnp.uint32(1 << 22), 10))
+    assert bool(torus.is_in(jnp.uint32(0), jnp.uint32((1 << 22) - 1), 10))
