@@ -18,10 +18,13 @@ Key facts the session relies on:
 """
 
 import argparse
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, ".")
 
 
 def main():
@@ -30,11 +33,22 @@ def main():
     ap.add_argument("--nprocs", type=int, default=None)
     ap.add_argument("--pid", type=int, default=None)
     ap.add_argument("--batch-per-host", type=int, default=64)
+    ap.add_argument("--test-params", action="store_true",
+                    help="small parameter set (quick CPU demo)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (virtual devices via "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count=K); "
+                         "lets the multi-process path run on one machine")
     args = ap.parse_args()
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
     from rustfhe_tpu import tlwe
-    from rustfhe_tpu.params import DEFAULT_PARAMS as params
+    from rustfhe_tpu.params import DEFAULT_PARAMS, TEST_PARAMS
     from rustfhe_tpu.parallel import multihost
+
+    params = TEST_PARAMS if args.test_params else DEFAULT_PARAMS
 
     if args.coordinator is not None:
         multihost.initialize(args.coordinator, args.nprocs, args.pid)
