@@ -18,7 +18,11 @@ formulas differ only in their linear pre-combination), keeping remote
 compiles to two (the big batch + the adder width).
 
 Env knobs: BENCH_PARAMS=default|n2048|fast, BENCH_BATCH, BENCH_ITERS,
-BENCH_GATES=all|nand (extended checks on/off).
+BENCH_GATES=all|nand (extended checks on/off), BENCH_SHARDED=1 (additionally
+run + time the SAME batch through the mesh-sharded gate path — shard_map
+around the fused Pallas kernel on a real-device mesh — asserting bit-exact
+agreement with the unsharded output; reported on stderr, the JSON metric
+stays the unsharded number).
 """
 
 import json
@@ -215,6 +219,53 @@ def main():
     best = min(times)
     gps = batch / best
     log(f"# per-batch: {best * 1e3:.1f} ms ({batch} gates) -> {gps:,.0f} gates/s")
+
+    if os.environ.get("BENCH_SHARDED", "0") == "1":
+        # The production kernel COMPOSED with the sharding stack, on real
+        # hardware: the same pre-combined batch through sharded_gate_fn's
+        # shard_map (psum key switch) over a mesh of all local devices
+        # (1-device mesh on a single chip — the shard_map/pallas_call
+        # composition and its tb padding are what's under test; VERDICT r2
+        # item 1).  Must be bit-exact vs the unsharded timed output.
+        from rustfhe_tpu.parallel import make_mesh, shard_cloud_key
+        from rustfhe_tpu.parallel.sharded import _bootstrap_local
+        from rustfhe_tpu.engine import get_engine
+        from jax.sharding import NamedSharding, PartitionSpec as SP
+
+        mesh = make_mesh()  # all local devices on `data`, model=1
+        engine = get_engine(engine_name)
+        ck_sh = shard_cloud_key(ck, mesh)
+        prms = p
+
+        def boot(bk, ksk, pre_local):
+            return _bootstrap_local(pre_local, bk, ksk, prms, engine)
+
+        sharded = jax.jit(
+            jax.shard_map(
+                boot, mesh=mesh,
+                in_specs=(SP(), SP("model"), SP("data")),
+                out_specs=SP("data"),
+            )
+        )
+        pre_sh = jax.device_put(pre_nand, NamedSharding(mesh, SP("data")))
+        t0 = time.perf_counter()
+        out_sh = jax.block_until_ready(sharded(ck_sh.bk, ck_sh.ksk, pre_sh))
+        log(f"# compile+first sharded run: {time.perf_counter() - t0:.2f}s "
+            f"(mesh data={mesh.shape['data']}, engine {engine_name})")
+        assert np.array_equal(np.asarray(out_sh), np.asarray(out)), (
+            "sharded output differs from unsharded"
+        )
+        log(f"# correctness[sharded]: bit-exact vs unsharded ({batch} gates)")
+        st = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(sharded(ck_sh.bk, ck_sh.ksk, pre_sh))
+            st.append(time.perf_counter() - t0)
+        sgps = batch / min(st)
+        log(
+            f"# sharded per-batch: {min(st) * 1e3:.1f} ms -> {sgps:,.0f} gates/s "
+            f"({sgps / gps * 100:.1f}% of unsharded)"
+        )
 
     print(
         json.dumps(

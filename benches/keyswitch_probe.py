@@ -145,8 +145,15 @@ def main():
     oh_pre = jax.block_until_ready(onehot_of(decompose_unsigned(tlwe.mask(ct), P)))
 
     def dot_only(c):
-        # data-dep: xor the first onehot column with parity of c to defeat cache
-        contrib = jnp.dot(oh_pre, prepared, preferred_element_type=I32)
+        # Mix c into the onehot operand (xor one column with a parity bit of
+        # the body) so the dot is data-dependent: otherwise the dot over the
+        # constant oh_pre is loop-invariant inside chain()'s fori_loop and
+        # XLA may hoist/CSE it, making the "dot floor" misleadingly fast.
+        # One column flip perturbs <=0.01% of the operand — the timing still
+        # measures the contraction, not the perturbation.
+        parity = (tlwe.body(c) & U32(1)).astype(I8)  # (B,)
+        oh = oh_pre.at[:, 0].set(oh_pre[:, 0] ^ parity)
+        contrib = jnp.dot(oh, prepared, preferred_element_type=I32)
         return finish(c, recombine(contrib))
 
     def build_only(c):

@@ -69,6 +69,16 @@ def get_engine(name: str = "matmul"):
     return _ENGINES[name]
 
 
+def resolve_engine(engine):
+    """Registry name or engine instance -> engine instance.
+
+    Lets callers (keygen, the sharded gate builders) accept either a
+    registered name ("pallas_k2") or a custom-configured instance (e.g. an
+    interpret-mode Pallas engine with small tiles for virtual-mesh tests).
+    """
+    return get_engine(engine) if isinstance(engine, str) else engine
+
+
 register_engine("oracle", OracleEngine())
 register_engine("matmul", MatmulEngine())
 register_engine("matmul_bf16", MatmulEngine(limb_bits=4, use_bf16=True))
@@ -204,6 +214,7 @@ __all__ = [
     "OracleEngine",
     "MatmulEngine",
     "get_engine",
+    "resolve_engine",
     "register_engine",
     "probe_vectors",
     "select_fast_engine",

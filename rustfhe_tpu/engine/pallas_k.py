@@ -271,12 +271,16 @@ def fused_cmux_step_k(acc_flat, a_tilde, panels, *, params, levels=1,
     assert B % tb == 0 and ns % tm == 0
     assert panels.shape == (2, rows, width), panels.shape
 
+    # Propagate varying-mesh-axes so the kernel composes with shard_map
+    # under check_vma (e.g. acc varying over 'data', panels replicated).
+    vma = (jax.typeof(acc_flat).vma | jax.typeof(a_tilde).vma
+           | jax.typeof(panels).vma)
     return pl.pallas_call(
         functools.partial(
             _kernel_step_k, params=params, levels=levels, num_limbs=num_limbs,
             limb_bits=limb_bits, tb=tb, tm=tm,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, 2 * params.N), U32),
+        out_shape=jax.ShapeDtypeStruct((B, 2 * params.N), U32, vma=vma),
         grid=(B // tb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -347,12 +351,13 @@ def fused_external_product_k(digits_flat, panels, *, params, levels=1,
     assert B % tb == 0 and ns % tm == 0
     assert panels.shape == (2, rows, width), panels.shape
 
+    vma = jax.typeof(digits_flat).vma | jax.typeof(panels).vma
     return pl.pallas_call(
         functools.partial(
             _kernel_extprod_k, params=params, levels=levels,
             num_limbs=num_limbs, limb_bits=limb_bits, tb=tb, tm=tm,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, 2 * params.N), U32),
+        out_shape=jax.ShapeDtypeStruct((B, 2 * params.N), U32, vma=vma),
         grid=(B // tb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),

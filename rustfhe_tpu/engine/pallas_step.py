@@ -153,12 +153,13 @@ def fused_external_product(digits_flat, panels, *, params, num_limbs=4, limb_bit
     assert B % tb == 0 and N % TM == 0
     assert panels.shape == (2, rows, width), panels.shape
 
+    vma = jax.typeof(digits_flat).vma | jax.typeof(panels).vma
     grid = (2, B // tb)
     out = pl.pallas_call(
         functools.partial(
             _kernel, params=params, num_limbs=num_limbs, limb_bits=limb_bits, tb=tb
         ),
-        out_shape=jax.ShapeDtypeStruct((B, 2 * N), U32),
+        out_shape=jax.ShapeDtypeStruct((B, 2 * N), U32, vma=vma),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # panels stay in HBM; DMA'd
@@ -260,13 +261,15 @@ def fused_cmux_step(acc, a_tilde, panels, *, params, num_limbs=4, limb_bits=8,
     width = 2 * N - tm
     assert B % tb == 0
 
+    vma = (jax.typeof(acc).vma | jax.typeof(a_tilde).vma
+           | jax.typeof(panels).vma)
     grid = (2, B // tb)
     out = pl.pallas_call(
         functools.partial(
             _kernel_fused, params=params, num_limbs=num_limbs, limb_bits=limb_bits,
             tb=tb, tm=tm
         ),
-        out_shape=jax.ShapeDtypeStruct((B, 2 * N), U32),
+        out_shape=jax.ShapeDtypeStruct((B, 2 * N), U32, vma=vma),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -355,12 +358,14 @@ def fused_cmux_step_merged(acc, a_tilde, panels, *, params, num_limbs=4,
     width = 2 * N - tm
     assert B % tb == 0
 
+    vma = (jax.typeof(acc).vma | jax.typeof(a_tilde).vma
+           | jax.typeof(panels).vma)
     return pl.pallas_call(
         functools.partial(
             _kernel_merged, params=params, num_limbs=num_limbs,
             limb_bits=limb_bits, tb=tb, tm=tm
         ),
-        out_shape=jax.ShapeDtypeStruct((B, 2, N), U32),
+        out_shape=jax.ShapeDtypeStruct((B, 2, N), U32, vma=vma),
         grid=(B // tb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from . import tlwe
 from .bootstrap import bootstrap
-from .engine import get_engine
+from .engine import resolve_engine
 from .keys import CloudKey
 from .params import TFHEParams
 
@@ -33,58 +33,58 @@ def _mu_trivial(params: TFHEParams, shape=()):
 
 
 @partial(jax.jit, static_argnames=("params", "engine_name"))
-def hom_bootstrap(ck: CloudKey, pre, *, params: TFHEParams, engine_name: str = "matmul"):
+def hom_bootstrap(ck: CloudKey, pre, *, params: TFHEParams, engine_name="matmul"):
     """Bootstrap an already-precombined batch (the shared second half of
     every gate formula, tfhe.rs:73-80).  Lets callers fuse arbitrary gate
     mixes into one bootstrap (see apps/circuits.evaluate_encrypted)."""
-    engine = get_engine(engine_name)
+    engine = resolve_engine(engine_name)
     return bootstrap(jnp.asarray(pre, U32), ck, params, engine)
 
 
 @partial(jax.jit, static_argnames=("params", "engine_name"))
-def hom_nand(ck: CloudKey, x, y, *, params: TFHEParams, engine_name: str = "matmul"):
-    engine = get_engine(engine_name)
+def hom_nand(ck: CloudKey, x, y, *, params: TFHEParams, engine_name="matmul"):
+    engine = resolve_engine(engine_name)
     pre = (_mu_trivial(params) - (x + y)).astype(U32)
     return bootstrap(pre, ck, params, engine)
 
 
 @partial(jax.jit, static_argnames=("params", "engine_name"))
-def hom_and(ck: CloudKey, x, y, *, params: TFHEParams, engine_name: str = "matmul"):
-    engine = get_engine(engine_name)
+def hom_and(ck: CloudKey, x, y, *, params: TFHEParams, engine_name="matmul"):
+    engine = resolve_engine(engine_name)
     pre = ((x + y) - _mu_trivial(params)).astype(U32)
     return bootstrap(pre, ck, params, engine)
 
 
 @partial(jax.jit, static_argnames=("params", "engine_name"))
-def hom_or(ck: CloudKey, x, y, *, params: TFHEParams, engine_name: str = "matmul"):
-    engine = get_engine(engine_name)
+def hom_or(ck: CloudKey, x, y, *, params: TFHEParams, engine_name="matmul"):
+    engine = resolve_engine(engine_name)
     pre = ((x + y) + _mu_trivial(params)).astype(U32)
     return bootstrap(pre, ck, params, engine)
 
 
 @partial(jax.jit, static_argnames=("params", "engine_name"))
-def hom_xor(ck: CloudKey, x, y, *, params: TFHEParams, engine_name: str = "matmul"):
-    engine = get_engine(engine_name)
+def hom_xor(ck: CloudKey, x, y, *, params: TFHEParams, engine_name="matmul"):
+    engine = resolve_engine(engine_name)
     two_mu = tlwe.trivial(jnp.asarray(2 * params.mu & 0xFFFFFFFF, U32), params.n)
     pre = ((x + y) * U32(2) + two_mu).astype(U32)
     return bootstrap(pre, ck, params, engine)
 
 
 @partial(jax.jit, static_argnames=("params", "engine_name"))
-def hom_not(ck: CloudKey, x, *, params: TFHEParams, engine_name: str = "matmul"):
-    engine = get_engine(engine_name)
+def hom_not(ck: CloudKey, x, *, params: TFHEParams, engine_name="matmul"):
+    engine = resolve_engine(engine_name)
     return bootstrap(tlwe.neg(x), ck, params, engine)
 
 
 @partial(jax.jit, static_argnames=("params", "engine_name"))
-def hom_mux(ck: CloudKey, control, in0, in1, *, params: TFHEParams, engine_name: str = "matmul"):
+def hom_mux(ck: CloudKey, control, in0, in1, *, params: TFHEParams, engine_name="matmul"):
     """(in1 & control) | (in0 & !control), 3 bootstraps (tfhe.rs:27-40).
 
     The two ANDs are independent, so they are fused into ONE double-width
     bootstrap batch (stacked on a new leading axis) — a mux costs two
     bootstrap passes of latency, not three.
     """
-    engine = get_engine(engine_name)
+    engine = resolve_engine(engine_name)
     mu = _mu_trivial(params)
     pre_a = ((control + in1) - mu).astype(U32)
     pre_b = ((tlwe.neg(control) + in0) - mu).astype(U32)

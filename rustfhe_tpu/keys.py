@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from . import tlwe, trgsw
-from .engine import get_engine
+from .engine import resolve_engine
 from .params import TFHEParams
 from .utils.rng import binary_array
 
@@ -73,14 +73,17 @@ def gen_bootstrapping_key_raw(key, sk: SecretKey, params: TFHEParams, engine) ->
     return trgsw.encrypt_int(key, sk.lv1, sk.lv0.astype(jnp.int32), params, engine)
 
 
-def gen_cloud_key(key, sk: SecretKey, params: TFHEParams, engine_name: str = "matmul") -> CloudKey:
+def gen_cloud_key(key, sk: SecretKey, params: TFHEParams, engine_name="matmul") -> CloudKey:
     """Generate the evaluation key, fully jitted.
+
+    ``engine_name``: registered name or engine instance (the key is stored
+    in that engine's prepared representation).
 
     jit matters here for memory, not just speed: the limb-splitting and key
     preparation create large intermediates that eager mode keeps alive;
     under jit XLA frees/fuses them, keeping peak HBM far lower.
     """
-    engine = get_engine(engine_name)
+    engine = resolve_engine(engine_name)
 
     @partial(jax.jit, static_argnames=())
     def _gen(key, sk):
@@ -95,7 +98,7 @@ def gen_cloud_key(key, sk: SecretKey, params: TFHEParams, engine_name: str = "ma
     return _gen(key, sk)
 
 
-def gen_keys(key, params: TFHEParams = None, engine_name: str = "matmul"):
+def gen_keys(key, params: TFHEParams = None, engine_name="matmul"):
     """One-call keygen: (SecretKey, CloudKey)."""
     if params is None:
         from .params import DEFAULT_PARAMS

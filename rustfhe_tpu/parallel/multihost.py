@@ -71,7 +71,7 @@ class GateSession:
     >>> mine = sess.fetch(out)                              # host-local out
     """
 
-    def __init__(self, key, params: TFHEParams, engine_name: str = "matmul",
+    def __init__(self, key, params: TFHEParams, engine_name="matmul",
                  model: int = 1):
         self.params = params
         self.engine_name = engine_name
@@ -103,12 +103,29 @@ class GateSession:
         """Global data-sharded output -> this host's local rows.
 
         Model-axis replication means several addressable shards cover the
-        same batch rows — deduplicate by range before concatenating.
+        same batch rows — deduplicate by range before concatenating.  The
+        data-sharded axis is DETECTED from the shards (gate outputs shard
+        axis 0; bootstrap_raw outputs with leading gate-lane axes shard the
+        batch axis -2), so a non-lead batch axis concatenates correctly
+        instead of interleaving wrong rows; an output sharded on more than
+        one axis fails loudly.
         """
-        shards = {}
-        for s in global_out.addressable_shards:
-            shards.setdefault(s.index[0].start or 0, np.asarray(s.data))
-        return np.concatenate([shards[k] for k in sorted(shards)])
+        shards = list(global_out.addressable_shards)
+        ndim = np.ndim(global_out)
+        varying = [
+            ax for ax in range(ndim)
+            if len({s.index[ax].start or 0 for s in shards}) > 1
+        ]
+        if len(varying) > 1:
+            raise ValueError(
+                f"fetch expects an output sharded on one axis, got shards "
+                f"varying on axes {varying} (shape {global_out.shape})"
+            )
+        ax = varying[0] if varying else 0
+        dedup = {}
+        for s in shards:
+            dedup.setdefault(s.index[ax].start or 0, np.asarray(s.data))
+        return np.concatenate([dedup[k] for k in sorted(dedup)], axis=ax)
 
     # --------------------------- gate set ----------------------------- #
     def _g(self, kind, *cts):
@@ -143,7 +160,7 @@ class GateSession:
         fused bootstrap shards over ``data``.
         """
         from .sharded import _bootstrap_local
-        from ..engine import get_engine
+        from ..engine import resolve_engine
         from jax.sharding import PartitionSpec as P
 
         ndim = jnp.ndim(pre)
@@ -151,11 +168,15 @@ class GateSession:
         # outer axes (gate lanes) stay replicated.  Batches too small (or
         # uneven) for the data axis — e.g. a 1-2 gate circuit level in
         # unbatched evaluation — fall back to replicated compute rather
-        # than tripping shard_map's divisibility check.
-        shard_batch = jnp.shape(pre)[-2] % self.mesh.shape["data"] == 0
+        # than tripping shard_map's divisibility check; a single unbatched
+        # (n+1,) ciphertext (ndim=1) has no batch axis at all and is
+        # likewise computed replicated.
+        shard_batch = (
+            ndim >= 2 and jnp.shape(pre)[-2] % self.mesh.shape["data"] == 0
+        )
         cache_key = (ndim, shard_batch)
         if cache_key not in self._bootstrap_fns:
-            engine = get_engine(self.engine_name)
+            engine = resolve_engine(self.engine_name)
             params = self.params
 
             def boot(bk, ksk, pre_local):

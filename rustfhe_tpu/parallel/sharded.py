@@ -25,7 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .. import tlwe, trlwe
 from ..bootstrap import blind_rotate
 from ..decomp import decompose_unsigned
-from ..engine import get_engine
+from ..engine import resolve_engine
 from ..keys import CloudKey
 from ..params import TFHEParams
 
@@ -40,6 +40,11 @@ def _key_switch_local(ct_lv1, ksk_local, params: TFHEParams, engine, axis_name: 
     ksk_local: this device's contiguous row-shard of the prepared KSK
     (matmul engine layout: (Q_local, (n+1)*K) int8).  Builds the full
     one-hot, slices the local Q range, matmuls, and psums partial limbs.
+
+    Requires the ``model`` axis size to divide N*iks_l (i.e. each contiguous
+    row shard covers whole (i, l) digit groups: Q = N*iks_l*(iks_t-1) rows
+    with the t axis innermost).  Power-of-two axis sizes always satisfy this
+    at power-of-two N; the assert below fails loudly at trace time otherwise.
     """
     b = tlwe.body(ct_lv1)
     a = tlwe.mask(ct_lv1)
@@ -124,19 +129,28 @@ def _gate_local(kind: str, params: TFHEParams, engine, ks_fn=None):
             "not": not_, "mux": mux}[kind]
 
 
-def sharded_gate_fn(mesh: Mesh, params: TFHEParams, engine_name: str = "matmul",
-                    kind: str = "nand", key_switch: str = "psum"):
+def sharded_gate_fn(mesh: Mesh, params: TFHEParams, engine_name="matmul",
+                    kind: str = "nand", key_switch: str = "psum",
+                    check_vma: bool = True):
     """Build a jitted, mesh-sharded homomorphic gate over (bk, ksk, *cts).
 
+    ``engine_name``: a registered engine name or an engine INSTANCE (e.g. a
+    fused Pallas engine — the kernel then runs per-shard inside shard_map;
+    the bk must have been prepared by the same engine).
     ``kind``: one of nand/and/or/xor (2 ciphertext args), not (1 arg),
     mux (3 args).  ``key_switch``: "psum" (each device builds the full
-    one-hot and slices its KSK row range) or "all_to_all" (one-hot built
-    batch-sharded over ``data``, transpose-exchanged to row-sharded — the
-    KSK must then be row-sharded over ``data``).  The returned function
+    one-hot and slices its KSK row range; requires the ``model`` axis size
+    to divide N*iks_l — see _key_switch_local) or "all_to_all" (one-hot
+    built batch-sharded over ``data``, transpose-exchanged to row-sharded —
+    the KSK must then be row-sharded over ``data``).  The returned function
     expects ciphertext batches sharded over ``data``; the bootstrapping key
     is replicated.  Returns outputs sharded over ``data``.
+    ``check_vma``: leave True in production; False only for Pallas
+    INTERPRET-mode tests, where jax's hlo interpreter evaluates the kernel
+    jaxpr under the varying-mesh-axes checker and trips on scalar constants
+    (compiled Pallas lowers opaquely and checks fine).
     """
-    engine = get_engine(engine_name)
+    engine = resolve_engine(engine_name)
     if key_switch == "psum":
         gate = _gate_local(kind, params, engine)
         ksk_spec = P("model")
@@ -154,6 +168,7 @@ def sharded_gate_fn(mesh: Mesh, params: TFHEParams, engine_name: str = "matmul",
         mesh=mesh,
         in_specs=(P(), ksk_spec) + (P("data"),) * n_cts,
         out_specs=P("data"),
+        check_vma=check_vma,
     )
     return jax.jit(mapped)
 
@@ -200,7 +215,7 @@ def tp_gate_fn(mesh: Mesh, params: TFHEParams, kind: str = "nand"):
     ``model``: per-step psum of external-product partials inside the scan,
     plus the psum key switch.  Inputs: bk sharded on its 2L axis, ksk row
     sharded, ciphertexts over ``data``."""
-    engine = get_engine("matmul")
+    engine = resolve_engine("matmul")
     n_cts = {"not": 1, "mux": 3}.get(kind, 2)
 
     def gate_n(bk_local, ksk_local, *cts):

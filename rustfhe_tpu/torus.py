@@ -87,9 +87,14 @@ def pow_two_minus(k: int) -> np.uint32:
 
 def is_in(a, b, radius_pow: int = 10) -> jnp.ndarray:
     """Wrapping approximate equality on the torus circle: True where the
-    circular distance |a - b| (mod 1) is below 2^-radius_pow (the analogue
-    of ``Decimal::is_in``, math.rs:617-621 — used for noise-tolerant
-    comparisons in probabilistic tests)."""
+    circular distance |a - b| (mod 1) is below 2^-radius_pow.
+
+    Covers the role of ``Decimal::is_in`` (math.rs:617-621) but intentionally
+    STRENGTHENS its semantics: the reference compares non-wrapping f32
+    |a - b| < acc, which misjudges pairs straddling the 0/1 wrap point;
+    this version measures true circular distance (with a power-of-two
+    radius), the correct torus metric.  Used for noise-tolerant comparisons
+    in probabilistic tests."""
     a = jnp.asarray(a, U32)
     b = jnp.asarray(b, U32)
     d = (a - b).astype(U32)

@@ -21,6 +21,9 @@ def test_bench_harness_end_to_end(monkeypatch, capsys):
     monkeypatch.setenv("BENCH_BATCH", "64")
     monkeypatch.setenv("BENCH_ITERS", "1")
     monkeypatch.setenv("BENCH_GATES", "all")
+    # Sharded path too (8-virtual-device mesh on CPU; matmul engine —
+    # the real-chip run composes it with the fused Pallas kernel).
+    monkeypatch.setenv("BENCH_SHARDED", "1")
 
     path = pathlib.Path(__file__).resolve().parents[1] / "bench.py"
     spec = importlib.util.spec_from_file_location("bench_smoke", path)

@@ -154,6 +154,39 @@ def test_sharded_circuit_evaluator(setup):
     assert np.array_equal(dec, evaluate_plain(circuit, bits))
 
 
+def test_sharded_pallas_fused_engine_bit_exact():
+    # The production composition the real-chip BENCH_SHARDED path runs:
+    # shard_map AROUND the fused Pallas CMux-step kernel (pl.pallas_call in
+    # interpret mode on the virtual mesh).  The sharded gate through the
+    # Karatsuba engine must match the unsharded result bit-for-bit,
+    # including the kernel's tb padding against the smaller per-shard batch.
+    from rustfhe_tpu.engine.pallas_k import PallasKaratsubaEngine
+    from rustfhe_tpu.params import TFHEParams
+
+    p = TFHEParams(n=12, N=256, alpha_lv0=2.0**-20, alpha_lv1=2.0**-28)
+    eng = PallasKaratsubaEngine(interpret=True, tb=8, levels=1)
+    key = jax.random.PRNGKey(11)
+    kg, ke = jax.random.split(key)
+    sk, ck = keys.gen_keys(kg, p, engine_name=eng)
+    B = 16
+    bx = jax.random.bernoulli(jax.random.fold_in(ke, 0), 0.5, (B,)).astype(U32)
+    by = jax.random.bernoulli(jax.random.fold_in(ke, 1), 0.5, (B,)).astype(U32)
+    cx = tlwe.encrypt_binary(jax.random.fold_in(ke, 2), sk.lv0, bx, p)
+    cy = tlwe.encrypt_binary(jax.random.fold_in(ke, 3), sk.lv0, by, p)
+    ref = gates.hom_nand(ck, cx, cy, params=p, engine_name=eng)
+
+    mesh = make_mesh(data=4, model=2)
+    # check_vma=False: jax's interpret-mode kernel evaluation trips the
+    # varying-mesh-axes checker on scalar constants; the compiled TPU path
+    # keeps the check on (bench.py BENCH_SHARDED).
+    fn = sharded_gate_fn(mesh, p, eng, check_vma=False)
+    ck_sh = shard_cloud_key(ck, mesh)
+    out = fn(ck_sh.bk, ck_sh.ksk, cx, cy)
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
+    dec = np.asarray(tlwe.decrypt_binary(out, sk.lv0))
+    assert np.array_equal(dec, 1 - (np.asarray(bx) & np.asarray(by)))
+
+
 def test_all_to_all_key_switch_bit_exact(setup):
     # One-hot built batch-sharded, transpose-exchanged (all_to_all) to KSK
     # row shards: must agree bit-for-bit with the psum-only variant.
@@ -167,6 +200,40 @@ def test_all_to_all_key_switch_bit_exact(setup):
     fn = sharded_gate_fn(mesh, p, "matmul", kind="nand", key_switch="all_to_all")
     out = fn(bk, ksk, cx, cy)
     assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_fetch_nonlead_batch_axis_and_unbatched_bootstrap(setup):
+    # GateSession.fetch on a bootstrap_raw output with a LEADING gate-lane
+    # axis (lanes, B, n+1): the data-sharded axis is -2, not 0 — fetch must
+    # concatenate along the detected sharded axis instead of collapsing to
+    # one shard's rows.  Also: a single unbatched (n+1,) pre must take the
+    # replicated fallback (regression for the ndim<2 IndexError).
+    from rustfhe_tpu import gates
+    from rustfhe_tpu.parallel.multihost import GateSession
+
+    p = setup[0]
+    sk = setup[1]
+    cx, cy = setup[3], setup[4]
+    kg, _ = jax.random.split(jax.random.PRNGKey(3))
+    sess = GateSession(kg, p, "matmul", model=2)
+    pre_a = gates.precombine("nand", cx, cy, params=p)
+    pre_b = gates.precombine("and", cx, cy, params=p)
+    pre = jnp.stack([pre_a, pre_b])  # (2, 16, n+1): lanes lead, batch at -2
+    out = sess.bootstrap_raw(pre)
+    fetched = sess.fetch(out)
+    # Single process: the host's local rows are the whole batch.
+    assert fetched.shape == out.shape
+    assert np.array_equal(fetched, np.asarray(out))
+    bx, by = np.asarray(setup[6]), np.asarray(setup[7])
+    dec = np.asarray(tlwe.decrypt_binary(jnp.asarray(fetched), sk.lv0))
+    assert np.array_equal(dec[0], 1 - (bx & by))
+    assert np.array_equal(dec[1], bx & by)
+
+    # ndim=1: single ciphertext, replicated fallback.
+    one = sess.bootstrap_raw(pre_a[0])
+    assert one.shape == (p.n + 1,)
+    dec1 = int(tlwe.decrypt_binary(one[None], sk.lv0)[0])
+    assert dec1 == int(1 - (bx[0] & by[0]))
 
 
 def test_sharded_circuit_unbatched_small_levels(setup):
