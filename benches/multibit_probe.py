@@ -40,10 +40,10 @@ of this framework — BENCH.md speed-of-light table):
 * Noise: the BK/gadget error of each term is convolved by m_T
   (2^|T| signed monomials -> variance x2^|T|), so one group step carries
   (2+2+4) = 8 units of per-product variance vs 2x1 = 2 for two standard
-  steps: x4 variance per bit pair, i.e. the decode margin HALVES (in
-  sigmas).  utils/noise.py puts the default set at ~9.1 sigma; grouped-2
-  would land at ~4.5 sigma — below the 5-sigma bar that the FAST preset
-  failure calibrated (tests/test_noise.py).
+  steps: x4 blind-rotate variance per bit pair.  utils/noise.py puts the
+  default set at 10.8 sigma; grouped-2 lands at ~7.3 sigma (the rotate
+  term is only one of four variance components) — still above the 5-sigma
+  bar, so noise alone would not kill it; the MXU/VPU regression does.
 
 Usage:
   python benches/multibit_probe.py check   # decode-correctness of grouped
@@ -251,7 +251,7 @@ def main_timing(B: int):
     ) ** 0.5
     print(
         f"# noise: standard margin {nb.margin_sigmas:.1f} sigma; grouped-2 "
-        f"(x4 rotate variance) ~{(1/16)/grp_sigma:.1f} sigma",
+        f"(x4 blind-rotate variance) ~{(1/16)/grp_sigma:.1f} sigma",
         flush=True,
     )
 

@@ -52,7 +52,8 @@ K = 4
 # --------------------------------------------------------------------- #
 # Parametrized kernel
 # --------------------------------------------------------------------- #
-def _digits_and_tree(acc, n_col, params, *, levels, planes16, extract_shift):
+def _digits_and_tree(acc, n_col, params, *, levels, planes16, extract_shift,
+                     extract_sar=False, skip_rotate=False):
     R = 1 << levels
     ns = params.N // R
     lvls = params.l
@@ -60,13 +61,26 @@ def _digits_and_tree(acc, n_col, params, *, levels, planes16, extract_shift):
     half = U32(params.half_bg)
     digit_mask = U32(params.bg - 1)
 
-    rot = _rotate_res_inkernel(acc, n_col, ns, levels)
+    if skip_rotate:  # attribution only (inexact): charge zero rotate stages
+        rot = (acc + U32(1)).astype(U32)
+    else:
+        rot = _rotate_res_inkernel(acc, n_col, ns, levels)
     diff = (rot - acc).astype(U32)
     u = (diff + mask) ^ mask
 
     sum_dtype = I16 if planes16 else I32
     dig_planes = []
     for lv in range(lvls):
+        if extract_sar:
+            # One-pass sign-extended extract: shl puts the digit window at
+            # the top, arithmetic shr brings it back — 2 static shifts/level
+            # instead of shift+and+and+mul+add (the balanced digit
+            # raw - (raw & half)*2 IS the bgbit-bit sign extension of the
+            # window).
+            ui = jax.lax.bitcast_convert_type(u, I32)
+            d = (ui << I32(params.bgbit * lv)) >> I32(32 - params.bgbit)
+            dig_planes.append(d.astype(sum_dtype))
+            continue
         shift = U32(32 - params.bgbit * (lv + 1))
         raw = (u >> shift) & digit_mask
         if extract_shift:
@@ -124,7 +138,8 @@ def _accumulate(dj, w_vmem, c, *, ns, lvls, T, tm, tb, leaf_combine):
 
 
 def _kernel_var(w_hbm, acc_ref, n_ref, o_ref, w_vmem, sem, *, params, levels,
-                tb, tm, leaf_combine, planes16, extract_shift, unroll):
+                tb, tm, leaf_combine, planes16, extract_shift, unroll,
+                extract_sar=False, skip_rotate=False):
     b = pl.program_id(0)
     R = 1 << levels
     T = 3 ** levels
@@ -141,7 +156,8 @@ def _kernel_var(w_hbm, acc_ref, n_ref, o_ref, w_vmem, sem, *, params, levels,
     for s in range(unroll):
         n_col = n_ref[:, s : s + 1]
         dj = _digits_and_tree(acc, n_col, params, levels=levels,
-                              planes16=planes16, extract_shift=extract_shift)
+                              planes16=planes16, extract_shift=extract_shift,
+                              extract_sar=extract_sar, skip_rotate=skip_rotate)
         new_segs = []
         for c in (0, 1):
             outs = _accumulate(dj, w_vmem.at[s] if unroll > 1 else w_vmem,
@@ -156,9 +172,10 @@ def _kernel_var(w_hbm, acc_ref, n_ref, o_ref, w_vmem, sem, *, params, levels,
 
 @functools.partial(jax.jit, static_argnames=(
     "params", "levels", "tb", "tm", "leaf_combine", "planes16",
-    "extract_shift", "unroll"))
+    "extract_shift", "unroll", "extract_sar", "skip_rotate"))
 def step_var(acc_flat, a_tilde, panels, *, params, levels=2, tb=128, tm=128,
-             leaf_combine=True, planes16=False, extract_shift=False, unroll=1):
+             leaf_combine=True, planes16=False, extract_shift=False, unroll=1,
+             extract_sar=False, skip_rotate=False):
     B_ = acc_flat.shape[0]
     T = 3 ** levels
     ns = params.N >> levels
@@ -174,7 +191,8 @@ def step_var(acc_flat, a_tilde, panels, *, params, levels=2, tb=128, tm=128,
         functools.partial(
             _kernel_var, params=params, levels=levels, tb=tb, tm=tm,
             leaf_combine=leaf_combine, planes16=planes16,
-            extract_shift=extract_shift, unroll=unroll),
+            extract_shift=extract_shift, unroll=unroll,
+            extract_sar=extract_sar, skip_rotate=skip_rotate),
         out_shape=jax.ShapeDtypeStruct((B_, 2 * params.N), U32),
         grid=(B_ // tb,),
         in_specs=[
@@ -237,6 +255,7 @@ def main():
         ("limb_outer(old)", dict(leaf_combine=False)),
         ("leaf+int16", dict(leaf_combine=True, planes16=True)),
         ("leaf+shiftext", dict(leaf_combine=True, extract_shift=True)),
+        ("leaf+sarext", dict(leaf_combine=True, extract_sar=True)),
     ]:
         got = k2.scan_exit(step_var(flat, ai, panels2, params=P, **kw), P)
         ok = np.array_equal(np.asarray(got), np.asarray(want))
@@ -271,6 +290,15 @@ def main():
     chain("k2 leaf_u32 + int16 + shift",
           lambda a: step_var(a, a_t, panels2, params=P, planes16=True,
                              extract_shift=True), flat0)
+    chain("k2 leaf_u32 + sar extract",
+          lambda a: step_var(a, a_t, panels2, params=P, extract_sar=True), flat0)
+    # Attribution (INEXACT, timing only): zero rotate stages in this
+    # session's conditions — how much of the step is the 11-stage rotation?
+    chain("k2 [attr] skip_rotate (inexact)",
+          lambda a: step_var(a, a_t, panels2, params=P, skip_rotate=True), flat0)
+    chain("k2 [attr] skip_rotate + sar (inexact)",
+          lambda a: step_var(a, a_t, panels2, params=P, skip_rotate=True,
+                             extract_sar=True), flat0)
 
     def unroll2(a):
         out = step_var(a, a_t2, panels_u2, params=P, unroll=2)

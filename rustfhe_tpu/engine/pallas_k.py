@@ -212,9 +212,6 @@ def _kernel_step_k(w_hbm, acc_ref, n_ref, o_ref, w_vmem, sem, *, params,
     ns = params.N // R
     lvls = params.l
     mask = U32(params.decomp_mask)
-    half = U32(params.half_bg)
-    digit_mask = U32(params.bg - 1)
-
     @pl.when(b == 0)
     def _():
         cp = pltpu.make_async_copy(w_hbm, w_vmem, sem)
@@ -228,13 +225,19 @@ def _kernel_step_k(w_hbm, acc_ref, n_ref, o_ref, w_vmem, sem, *, params,
     u = (diff + mask) ^ mask  # decomposition carry, whole plane at once
 
     # Digit extraction per level over the whole plane, then the Karatsuba
-    # operand tree per (p, lv).  Sums are taken in int32 (Mosaic has no
-    # int8 vector add) and cast down: |sum| <= Bg/2 * 2^levels <= 128.
+    # operand tree per (p, lv).  Each balanced digit is the bgbit-bit sign
+    # extension of its window, extracted with two static shifts (shl to the
+    # top, arithmetic shr back) — measured 2.098 vs 2.110 ms/step against
+    # the shift+and+and+mul+add form (benches/vpu_reduce_probe.py,
+    # 2026-08-20, same session, exact on device).  Sums are taken in int32
+    # (Mosaic has no int8 vector add) and cast down:
+    # |sum| <= Bg/2 * 2^levels <= 128.
+    ui = jax.lax.bitcast_convert_type(u, I32)
     dig_planes = []
     for lv in range(lvls):
-        shift = U32(32 - params.bgbit * (lv + 1))
-        raw = (u >> shift) & digit_mask
-        dig_planes.append((raw + (raw & half) * U32(0xFFFFFFFE)).astype(I32))
+        dig_planes.append(
+            (ui << I32(params.bgbit * lv)) >> I32(32 - params.bgbit)
+        )
     dj = []  # j = p*lvls + lv -> T int8 operand planes
     for p in (0, 1):
         base = R * p * ns

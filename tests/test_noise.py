@@ -30,6 +30,20 @@ def test_other_presets_sound():
         assert ok, msg
 
 
+def test_second_calibration_anchor_recorded():
+    # Anchor 2 (BK-noise axis, measured 2026-08-20 on device at B=131072,
+    # benches/noise_calibration_probe.py): the marginal presets below
+    # PREDICT 2.8/3.4 sigma here but MEASURED 0 failures each — the model
+    # must keep scoring them in that (conservative) band so the docstring's
+    # calibration claim stays true, and must keep flagging them unsound.
+    for exp, lo, hi in ((21.5, 2.5, 3.2), (21.8, 3.1, 3.8)):
+        p = DEFAULT_PARAMS.replace(alpha_lv1=2.0 ** -exp)
+        b = noise_budget(p)
+        assert lo < b.margin_sigmas < hi, (exp, b.margin_sigmas)
+        ok, _ = check_params(p)
+        assert not ok
+
+
 def test_budget_components_positive():
     b = noise_budget(DEFAULT_PARAMS)
     assert all(v > 0 for v in b.components().values())
