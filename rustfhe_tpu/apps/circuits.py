@@ -285,6 +285,56 @@ def comparator(n_bits: int) -> Circuit:
     return c
 
 
+def _ripple_add_bits(c: Circuit, xs: list, ys: list) -> list:
+    """Add two LSB-first wire lists of (possibly) unequal length; returns
+    the sum bits with the final carry appended (no constant wires needed:
+    absent high bits are treated as 0 by degrading full adders to half
+    adders)."""
+    out = []
+    carry = None
+    for i in range(max(len(xs), len(ys))):
+        x = xs[i] if i < len(xs) else None
+        y = ys[i] if i < len(ys) else None
+        if x is None:
+            x, y = y, None
+        if y is None:
+            if carry is None:
+                out.append(x)
+            else:
+                out.append(c.xor(x, carry))
+                carry = c.and_(x, carry)
+        else:
+            axb = c.xor(x, y)
+            if carry is None:
+                out.append(axb)
+                carry = c.and_(x, y)
+            else:
+                out.append(c.xor(axb, carry))
+                carry = c.or_(c.and_(x, y), c.and_(carry, axb))
+    if carry is not None:
+        out.append(carry)
+    return out
+
+
+def array_multiplier(n_bits: int) -> Circuit:
+    """n x n -> 2n unsigned array multiplier (shift-add): inputs a[0..n),
+    b[0..n) (LSB first); outputs prod[0..2n).  Row i of partial products
+    a[j] & b[i] is ripple-added into the accumulator at offset i — the
+    textbook array structure, so every row is one batched AND level plus
+    adder levels under the level-fused evaluator.  Requires n_bits >= 2
+    (the 1x1 product has a constant-zero high bit, and circuits carry no
+    constant wires)."""
+    assert n_bits >= 2, "array_multiplier needs n_bits >= 2"
+    c = Circuit(n_inputs=2 * n_bits)
+    acc = [c.and_(j, n_bits + 0) for j in range(n_bits)]  # pp row 0
+    for i in range(1, n_bits):
+        pp = [c.and_(j, n_bits + i) for j in range(n_bits)]
+        acc = acc[:i] + _ripple_add_bits(c, acc[i:], pp)
+    assert len(acc) == 2 * n_bits, len(acc)
+    c.outputs = acc
+    return c
+
+
 def ripple_carry_adder(n_bits: int) -> Circuit:
     """n-bit ripple-carry adder: inputs a[0..n), b[0..n) (LSB first);
     outputs sum[0..n) then carry-out.  Full adder per bit:

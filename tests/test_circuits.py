@@ -8,6 +8,7 @@ import pytest
 
 from rustfhe_tpu.apps.circuits import (
     Circuit,
+    array_multiplier,
     comparator,
     evaluate_encrypted,
     evaluate_plain,
@@ -159,6 +160,28 @@ def test_encrypted_subtractor_comparator(ctx):
         assert diff == (a - b) % 256 and int(d[8]) == int(a < b), (a, b, d)
         lt, eq, gt = np.asarray(ctx.decrypt(evaluate_encrypted(cmp8, ctx, cts)))
         assert (int(lt), int(eq), int(gt)) == (int(a < b), int(a == b), int(a > b))
+
+
+def test_multiplier_plain_exhaustive_4bit():
+    c = array_multiplier(4)
+    for a in range(16):
+        for b in range(16):
+            out = evaluate_plain(c, np.array(_bits_of(a, 4) + _bits_of(b, 4)))
+            prod = sum(int(out[i]) << i for i in range(8))
+            assert prod == a * b, (a, b, prod)
+
+
+def test_encrypted_multiplier_3bit(ctx):
+    mul = array_multiplier(3)
+    cases = np.array([[7, 7], [5, 6], [3, 4], [0, 7]], np.uint32)
+    bits = np.array(
+        [_bits_of(int(a), 3) + _bits_of(int(b), 3) for a, b in cases], np.uint32
+    )  # (4, 6): batched over the cases
+    cts = ctx.encrypt(jnp.asarray(bits))
+    dec = np.asarray(ctx.decrypt(evaluate_encrypted(mul, ctx, cts)))
+    prods = [sum(int(dec[r, i]) << i for i in range(6)) for r in range(len(cases))]
+    assert prods == [int(a) * int(b) for a, b in cases], prods
+    assert np.array_equal(dec, evaluate_plain(mul, bits))
 
 
 def test_random_dag_fuzz_encrypted_vs_plain(ctx):
