@@ -228,25 +228,12 @@ def main():
         # composition and its tb padding are what's under test; VERDICT r2
         # item 1).  Must be bit-exact vs the unsharded timed output.
         from rustfhe_tpu.parallel import make_mesh, shard_cloud_key
-        from rustfhe_tpu.parallel.sharded import _bootstrap_local
-        from rustfhe_tpu.engine import get_engine
+        from rustfhe_tpu.parallel.sharded import sharded_bootstrap_fn
         from jax.sharding import NamedSharding, PartitionSpec as SP
 
         mesh = make_mesh()  # all local devices on `data`, model=1
-        engine = get_engine(engine_name)
         ck_sh = shard_cloud_key(ck, mesh)
-        prms = p
-
-        def boot(bk, ksk, pre_local):
-            return _bootstrap_local(pre_local, bk, ksk, prms, engine)
-
-        sharded = jax.jit(
-            jax.shard_map(
-                boot, mesh=mesh,
-                in_specs=(SP(), SP("model"), SP("data")),
-                out_specs=SP("data"),
-            )
-        )
+        sharded = sharded_bootstrap_fn(mesh, p, engine_name)
         pre_sh = jax.device_put(pre_nand, NamedSharding(mesh, SP("data")))
         t0 = time.perf_counter()
         out_sh = jax.block_until_ready(sharded(ck_sh.bk, ck_sh.ksk, pre_sh))

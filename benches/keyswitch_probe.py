@@ -144,17 +144,40 @@ def main():
 
     oh_pre = jax.block_until_ready(onehot_of(decompose_unsigned(tlwe.mask(ct), P)))
 
-    def dot_only(c):
-        # Mix c into the onehot operand (xor one column with a parity bit of
-        # the body) so the dot is data-dependent: otherwise the dot over the
-        # constant oh_pre is loop-invariant inside chain()'s fori_loop and
-        # XLA may hoist/CSE it, making the "dot floor" misleadingly fast.
-        # One column flip perturbs <=0.01% of the operand — the timing still
-        # measures the contraction, not the perturbation.
-        parity = (tlwe.body(c) & U32(1)).astype(I8)  # (B,)
-        oh = oh_pre.at[:, 0].set(oh_pre[:, 0] ^ parity)
-        contrib = jnp.dot(oh, prepared, preferred_element_type=I32)
-        return finish(c, recombine(contrib))
+    def chain_dot_only(name, x0):
+        # Isolate the contraction: the onehot rides the fori_loop CARRY and
+        # each iteration flips one column from the previous output's parity,
+        # so the dot is loop-VARIANT (no hoist/CSE) while the update is an
+        # in-place one-column dynamic-update-slice of the carried buffer —
+        # no full copy of the ~200 MB operand inside the timed region (a
+        # functional .at[].set of the closure constant would force one and
+        # inflate the reported floor).
+        reps = (P.N + 1 + P.n) // (P.n + 1)
+
+        @jax.jit
+        def run(ct0):
+            def body(i, state):
+                c, oh = state
+                contrib = jnp.dot(oh, prepared, preferred_element_type=I32)
+                out = finish(c, recombine(contrib))
+                parity = (out[:, 0] & U32(1)).astype(I8)
+                oh2 = oh.at[:, 0].set(oh[:, 0] ^ parity)
+                nxt = jnp.tile(out, (1, reps))[:, : P.N + 1]
+                return ((nxt + U32(i)).astype(U32), oh2)
+
+            return jax.lax.fori_loop(0, ROUNDS, body, (ct0, oh_pre))[0]
+
+        jax.block_until_ready(run(x0))
+        t0 = time.perf_counter()
+        y = x0
+        for _ in range(3):
+            y = (run(y) + U32(1)).astype(U32)
+        jax.block_until_ready(y)
+        dt = (time.perf_counter() - t0) / (3 * ROUNDS)
+        print(
+            f"{name:14s} {dt*1e3:9.3f} ms/switch   {COLS_MACS/dt/1e12:6.1f} TMAC/s",
+            flush=True,
+        )
 
     def build_only(c):
         a = tlwe.mask(c)
@@ -164,7 +187,7 @@ def main():
         return (tlwe.trivial(tlwe.body(c), P.n) - s[:, : P.n + 1].astype(U32)).astype(U32)
 
     chain("current", current, ct)
-    chain("dot_only", dot_only, ct)
+    chain_dot_only("dot_only", ct)
     chain("build_only", build_only, ct)
     chain("masks3", masks3, ct)
     chain("chunked4", chunked4, ct)

@@ -338,20 +338,11 @@ def array_multiplier(n_bits: int) -> Circuit:
 def ripple_carry_adder(n_bits: int) -> Circuit:
     """n-bit ripple-carry adder: inputs a[0..n), b[0..n) (LSB first);
     outputs sum[0..n) then carry-out.  Full adder per bit:
-    s = a^b^cin, cout = (a&b) | (cin & (a^b))."""
+    s = a^b^cin, cout = (a&b) | (cin & (a^b)) — emitted by the shared
+    ``_ripple_add_bits`` (the multiplier's rows use the same structure,
+    so adder- and multiplier-internal adds share bootstrap levels)."""
     c = Circuit(n_inputs=2 * n_bits)
-    carry = None
-    sums = []
-    for i in range(n_bits):
-        a, b = i, n_bits + i
-        axb = c.xor(a, b)
-        if carry is None:
-            sums.append(axb)
-            carry = c.and_(a, b)
-        else:
-            sums.append(c.xor(axb, carry))
-            t1 = c.and_(a, b)
-            t2 = c.and_(carry, axb)
-            carry = c.or_(t1, t2)
-    c.outputs = sums + [carry]
+    c.outputs = _ripple_add_bits(
+        c, list(range(n_bits)), list(range(n_bits, 2 * n_bits))
+    )
     return c

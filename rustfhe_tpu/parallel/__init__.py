@@ -5,6 +5,7 @@ from .sharded import (
     key_switch_all_to_all,
     shard_cloud_key,
     shard_cloud_key_tp,
+    sharded_bootstrap_fn,
     sharded_gate_fn,
     tp_gate_fn,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "make_mesh",
     "batch_sharding",
     "replicated",
+    "sharded_bootstrap_fn",
     "sharded_gate_fn",
     "shard_cloud_key",
     "shard_cloud_key_tp",

@@ -159,9 +159,7 @@ class GateSession:
         gathers/scatters act on the replicated wire axis, each level's one
         fused bootstrap shards over ``data``.
         """
-        from .sharded import _bootstrap_local
-        from ..engine import resolve_engine
-        from jax.sharding import PartitionSpec as P
+        from .sharded import sharded_bootstrap_fn
 
         ndim = jnp.ndim(pre)
         # shard the LEAD batch axis just before the ciphertext axis; any
@@ -176,20 +174,9 @@ class GateSession:
         )
         cache_key = (ndim, shard_batch)
         if cache_key not in self._bootstrap_fns:
-            engine = resolve_engine(self.engine_name)
-            params = self.params
-
-            def boot(bk, ksk, pre_local):
-                return _bootstrap_local(pre_local, bk, ksk, params, engine)
-
-            spec = P(*((None,) * (ndim - 2) + ("data",))) if shard_batch else P()
-            self._bootstrap_fns[cache_key] = jax.jit(
-                jax.shard_map(
-                    boot,
-                    mesh=self.mesh,
-                    in_specs=(P(), P("model"), spec),
-                    out_specs=spec,
-                )
+            self._bootstrap_fns[cache_key] = sharded_bootstrap_fn(
+                self.mesh, self.params, self.engine_name,
+                ndim=ndim, shard_batch=shard_batch,
             )
         return self._bootstrap_fns[cache_key](self.ck.bk, self.ck.ksk, pre)
 

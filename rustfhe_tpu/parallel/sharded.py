@@ -173,6 +173,34 @@ def sharded_gate_fn(mesh: Mesh, params: TFHEParams, engine_name="matmul",
     return jax.jit(mapped)
 
 
+def sharded_bootstrap_fn(mesh: Mesh, params: TFHEParams, engine_name="matmul",
+                         ndim: int = 2, shard_batch: bool = True):
+    """Jitted, mesh-sharded bootstrap of an already-precombined batch.
+
+    The returned function maps (bk, ksk, pre) -> bootstrapped outputs, with
+    ``pre`` of rank ``ndim`` shaped (..., B, n+1): the axis before the
+    ciphertext axis is data-sharded (any leading gate-lane axes stay
+    replicated); the key switch uses the model-psum path.  This is the one
+    construction behind both GateSession.bootstrap_raw and bench.py's
+    BENCH_SHARDED measurement — keep them on it so the library path and
+    the benched path cannot drift.  ``shard_batch=False`` computes
+    replicated (for batches not divisible by the data axis).
+    """
+    engine = resolve_engine(engine_name)
+
+    def boot(bk, ksk, pre_local):
+        return _bootstrap_local(pre_local, bk, ksk, params, engine)
+
+    spec = P(*((None,) * (ndim - 2) + ("data",))) if shard_batch else P()
+    return jax.jit(
+        jax.shard_map(
+            boot, mesh=mesh,
+            in_specs=(P(), P("model"), spec),
+            out_specs=spec,
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 # Tensor-parallel blind rotate: BK row-sharded, psum INSIDE the hot loop
 # --------------------------------------------------------------------- #
