@@ -137,7 +137,7 @@ def step_coissue(acc_flat, a_tilde, panels, *, params, tb=128, tm=128,
         out_shape=jax.ShapeDtypeStruct((B_, 2 * params.N), U32),
         grid=(B_ // tb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((tb, 2 * params.N), lambda b: (b, 0)),
             pl.BlockSpec((tb, 1), lambda b: (b, 0)),
         ],

@@ -182,9 +182,12 @@ def main():
     def build_only(c):
         a = tlwe.mask(c)
         oh = onehot_of(decompose_unsigned(a, P))
-        # reduce to (B, n+1) cheaply without the big dot
+        # reduce to (B, n+1) cheaply without the big dot; Q/128 = 192 sums
+        # tile up to width n+1 (shape plumbing only — the point is that
+        # every onehot byte is produced and touched).
         s = jnp.sum(oh.reshape(c.shape[0], -1, 128).astype(I32), axis=-1)
-        return (tlwe.trivial(tlwe.body(c), P.n) - s[:, : P.n + 1].astype(U32)).astype(U32)
+        s = jnp.tile(s, (1, (P.n + 1) // s.shape[1] + 1))[:, : P.n + 1]
+        return (tlwe.trivial(tlwe.body(c), P.n) - s.astype(U32)).astype(U32)
 
     chain("current", current, ct)
     chain_dot_only("dot_only", ct)

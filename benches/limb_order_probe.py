@@ -87,7 +87,7 @@ def make_step(panels, a_t, tb, tm, limb_outer):
             out_shape=jax.ShapeDtypeStruct((B, 2, P.N), U32),
             grid=(B // tb,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((tb, 2, P.N), lambda b: (b, 0, 0)),
                 pl.BlockSpec((tb, 1), lambda b: (b, 0)),
             ],

@@ -137,7 +137,7 @@ def make_variant(panels, a_tilde, tb, tm, do_rotate, do_dots):
             out_shape=jax.ShapeDtypeStruct((B, 2 * P.N), U32),
             grid=(2, B // tb),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((tb, 2, P.N), lambda c, b: (b, 0, 0)),
                 pl.BlockSpec((tb, 1), lambda c, b: (b, 0)),
             ],

@@ -196,7 +196,7 @@ def step_var(acc_flat, a_tilde, panels, *, params, levels=2, tb=128, tm=128,
         out_shape=jax.ShapeDtypeStruct((B_, 2 * params.N), U32),
         grid=(B_ // tb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((tb, 2 * params.N), lambda b: (b, 0)),
             pl.BlockSpec((tb, unroll), lambda b: (b, 0)),
         ],

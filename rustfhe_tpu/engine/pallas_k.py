@@ -286,7 +286,7 @@ def fused_cmux_step_k(acc_flat, a_tilde, panels, *, params, levels=1,
         out_shape=jax.ShapeDtypeStruct((B, 2 * params.N), U32, vma=vma),
         grid=(B // tb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((tb, 2 * params.N), lambda b: (b, 0)),
             pl.BlockSpec((tb, 1), lambda b: (b, 0)),
         ],
@@ -363,7 +363,7 @@ def fused_external_product_k(digits_flat, panels, *, params, levels=1,
         out_shape=jax.ShapeDtypeStruct((B, 2 * params.N), U32, vma=vma),
         grid=(B // tb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((tb, 2 * params.l * T * ns), lambda b: (b, 0)),
         ],
         out_specs=pl.BlockSpec((tb, 2 * params.N), lambda b: (b, 0)),

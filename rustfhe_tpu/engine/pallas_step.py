@@ -162,7 +162,7 @@ def fused_external_product(digits_flat, panels, *, params, num_limbs=4, limb_bit
         out_shape=jax.ShapeDtypeStruct((B, 2 * N), U32, vma=vma),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # panels stay in HBM; DMA'd
+            pl.BlockSpec(memory_space=pl.ANY),  # panels stay in HBM; DMA'd
             pl.BlockSpec((tb, two_l * N), lambda c, b: (b, 0)),
         ],
         out_specs=pl.BlockSpec((tb, N), lambda c, b: (b, c)),
@@ -272,7 +272,7 @@ def fused_cmux_step(acc, a_tilde, panels, *, params, num_limbs=4, limb_bits=8,
         out_shape=jax.ShapeDtypeStruct((B, 2 * N), U32, vma=vma),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((tb, 2, N), lambda c, b: (b, 0, 0)),
             pl.BlockSpec((tb, 1), lambda c, b: (b, 0)),
         ],
@@ -368,7 +368,7 @@ def fused_cmux_step_merged(acc, a_tilde, panels, *, params, num_limbs=4,
         out_shape=jax.ShapeDtypeStruct((B, 2, N), U32, vma=vma),
         grid=(B // tb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((tb, 2, N), lambda b: (b, 0, 0)),
             pl.BlockSpec((tb, 1), lambda b: (b, 0)),
         ],
