@@ -7,6 +7,10 @@ single-gate latency is 30.6 ms (one core, BASELINE.md); here a whole batch
 shares the 635-step scan, so per-BATCH latency is the honest number and
 per-gate latency divides by B.
 
+Also measures LATENCY MODE (keys.cloud_key_panels): all 635 per-step
+kernel panel tables precomputed into ~13.5 GB of HBM, removing the
+per-step XLA panel build that dominates small-batch steps.
+
 Usage: python benches/latency_probe.py   (TPU)
 """
 
@@ -34,6 +38,16 @@ def main():
     kg, ke = jax.random.split(key)
     sk, ck = keys.gen_keys(kg, P, engine_name=engine_name)
     jax.block_until_ready(ck)
+    t0 = time.perf_counter()
+    ck_lat = keys.cloud_key_panels(ck, P, engine_name)
+    jax.block_until_ready(ck_lat)
+    lat_available = ck_lat.bk.shape != ck.bk.shape
+    print(
+        f"# latency-mode panels: {'built' if lat_available else 'n/a'} "
+        f"in {time.perf_counter() - t0:.1f}s "
+        f"({ck_lat.bk.size / 2**30:.1f} GiB)",
+        flush=True,
+    )
 
     for B in (128, 1024, 8192):
         rs = np.random.RandomState(B)
@@ -50,21 +64,31 @@ def main():
         bad = int((dec != (1 - (bx & by))).sum())
         assert bad == 0, f"B={B}: {bad} wrong"
 
-        times = []
-        x = pre
-        for _ in range(5):  # chained (x changes) to defeat relay caching
-            x = (x + U32(1)).astype(U32)
-            t0 = time.perf_counter()
-            jax.block_until_ready(
-                gates.hom_bootstrap(ck, x, params=P, engine_name=engine_name)
+        for tag, ck_use in (("build/step", ck), ("latency-mode", ck_lat)):
+            if tag == "latency-mode" and not lat_available:
+                continue
+            out2 = jax.block_until_ready(
+                gates.hom_bootstrap(ck_use, pre, params=P, engine_name=engine_name)
+            )  # compile this key form
+            if tag == "latency-mode":
+                assert np.array_equal(np.asarray(out2), np.asarray(out)), (
+                    "latency-mode output differs"
+                )
+            times = []
+            x = pre
+            for _ in range(5):  # chained (x changes) to defeat relay caching
+                x = (x + U32(1)).astype(U32)
+                t0 = time.perf_counter()
+                jax.block_until_ready(
+                    gates.hom_bootstrap(ck_use, x, params=P, engine_name=engine_name)
+                )
+                times.append(time.perf_counter() - t0)
+            best = min(times)
+            print(
+                f"B={B:6d} [{tag:12s}]: {best*1e3:8.1f} ms/batch  "
+                f"({best/B*1e3:7.3f} ms/gate amortized, {B/best:,.0f} gates/s)",
+                flush=True,
             )
-            times.append(time.perf_counter() - t0)
-        best = min(times)
-        print(
-            f"B={B:6d}: {best*1e3:8.1f} ms/batch  "
-            f"({best/B*1e3:7.3f} ms/gate amortized, {B/best:,.0f} gates/s)",
-            flush=True,
-        )
 
 
 if __name__ == "__main__":

@@ -34,9 +34,18 @@ class TFHE:
         self._enc_key = None
 
     @classmethod
-    def new(cls, key, params: TFHEParams = DEFAULT_PARAMS, engine_name: str = "matmul") -> "TFHE":
+    def new(cls, key, params: TFHEParams = DEFAULT_PARAMS, engine_name: str = "matmul",
+            latency_mode: bool = False) -> "TFHE":
+        """``latency_mode`` precomputes the engine's per-step kernel panel
+        tables (keys.cloud_key_panels): ~13.5 GB HBM at production
+        parameters, ~2x faster small-batch gates (interactive/REPL flows);
+        keep it off for large-batch throughput."""
         kg, ke = jax.random.split(key)
         sk, ck = gen_keys(kg, params, engine_name)
+        if latency_mode:
+            from .keys import cloud_key_panels
+
+            ck = cloud_key_panels(ck, params, engine_name)
         ctx = cls(sk, ck, params, engine_name)
         ctx._enc_key = ke
         return ctx

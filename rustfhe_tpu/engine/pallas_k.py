@@ -457,10 +457,39 @@ class PallasKaratsubaEngine:
             dbl.shape[: nd - 5] + (2, 2 * params.l * self.num_limbs * T, 2 * ns)
         )
 
+    # --------------------- latency-mode panel precompute -------------- #
+    def prepare_panels(self, prepared, params):
+        """Prepared TRGSW rows (..., 2, 2L*K*3^L, 2ns) -> the per-step
+        kernel panel tables (..., 2, 2L*K*3^L*tm, 2ns - tm) built ONCE.
+
+        Latency mode: at large batches the per-step XLA panel build
+        (~42 MB moved) hides under the kernel, but at small batches it IS
+        the step (B=128: 187 ms/batch, build-dominated).  Precomputing all
+        n panel tables costs n * 21 MB HBM (13.5 GB at production
+        parameters — fits v5e HBM alongside small-batch accumulators;
+        measured too slow/no-gain for the B>=8192 throughput path, see
+        ROADMAP "refuted levers", which this does NOT change).
+        ``cmux_step`` detects the panel form by its trailing width."""
+        ns = params.N >> self.levels
+        lead = prepared.shape[:-3]
+        flat = prepared.reshape((-1,) + prepared.shape[-3:])
+        panels = jax.lax.map(
+            lambda q: build_panels_doubling(q, ns, self.tm), flat
+        )
+        return panels.reshape(lead + panels.shape[1:])
+
+    def _panels_of(self, prepared, params):
+        ns = params.N >> self.levels
+        if prepared.shape[-1] == 2 * ns - self.tm:
+            return prepared  # already panel-form (prepare_panels)
+        return build_panels_doubling(prepared, ns, self.tm)
+
     # ---------------------------- hot path --------------------------- #
     def cmux_step(self, prepared, acc_flat, a_i, params):
         """Fused blind-rotate step in residue layout: acc_flat (..., 2N)
-        u32 (from scan_enter), a_i (...,) int32 in [0, 2N)."""
+        u32 (from scan_enter), a_i (...,) int32 in [0, 2N).  ``prepared``
+        is either the doubled limb table (panel built per step) or a
+        precomputed panel table from ``prepare_panels`` (latency mode)."""
         ns = params.N >> self.levels
         lead = acc_flat.shape[:-1]
         a2 = acc_flat.reshape((-1, 2 * params.N))
@@ -469,7 +498,7 @@ class PallasKaratsubaEngine:
         if pad:
             a2 = jnp.pad(a2, ((0, pad), (0, 0)))
             n2 = jnp.pad(n2, ((0, pad),))
-        panels = build_panels_doubling(prepared, ns, self.tm)
+        panels = self._panels_of(prepared, params)
         out = fused_cmux_step_k(
             a2, n2, panels, params=params, levels=self.levels,
             num_limbs=self.num_limbs, limb_bits=self.limb_bits, tb=self.tb,
@@ -492,7 +521,7 @@ class PallasKaratsubaEngine:
         pad = (-d.shape[0]) % self.tb
         if pad:
             d = jnp.pad(d, ((0, pad), (0, 0)))
-        panels = build_panels_doubling(prepared, ns, self.tm)
+        panels = self._panels_of(prepared, params)
         out = fused_external_product_k(
             d, panels, params=params, levels=self.levels,
             num_limbs=self.num_limbs, limb_bits=self.limb_bits, tb=self.tb,

@@ -98,6 +98,24 @@ def gen_cloud_key(key, sk: SecretKey, params: TFHEParams, engine_name="matmul") 
     return _gen(key, sk)
 
 
+def cloud_key_panels(ck: CloudKey, params: TFHEParams, engine_name) -> CloudKey:
+    """Latency-mode cloud key: the bootstrapping key's per-step kernel
+    panel tables precomputed once (engines without ``prepare_panels`` —
+    the non-Pallas paths — are returned unchanged).
+
+    Costs n * ~21 MB of HBM at production parameters (~13.5 GB) and pays
+    off when the gate batch is small enough that the per-step panel build
+    is not hidden under the kernel (B <~ 2048; benches/latency_probe.py).
+    Large-batch throughput should keep the standard key: the build is
+    overlapped there and the panel array would crowd out the accumulator.
+    """
+    engine = resolve_engine(engine_name)
+    prep = getattr(engine, "prepare_panels", None)
+    if prep is None:
+        return ck
+    return CloudKey(bk=prep(ck.bk, params), ksk=ck.ksk)
+
+
 def gen_keys(key, params: TFHEParams = None, engine_name="matmul"):
     """One-call keygen: (SecretKey, CloudKey)."""
     if params is None:

@@ -3,6 +3,7 @@
 (math.rs:725-864 flavor), and engine-vs-oracle exact equivalence — the
 analogue of the reference's fft_cross-vs-cross test (math.rs:904-952)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -248,6 +249,30 @@ def test_pallas_k_cmux_step_interpret_exact():
     got_flat = ke.cmux_step(ke.prepare_trgsw(rows, params), flat, ai, params)
     got = ke.scan_exit(got_flat, params)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_k_latency_mode_panels_bit_exact():
+    # Latency mode: cmux_step fed precomputed panel tables (prepare_panels)
+    # must match the per-step-build path bit-for-bit, end to end through a
+    # full gate (the form is detected by the trailing panel width).
+    from rustfhe_tpu import gates, keys as rkeys, tlwe as rtlwe
+    from rustfhe_tpu.engine.pallas_k import PallasKaratsubaEngine
+    from rustfhe_tpu.keys import cloud_key_panels
+
+    params = TFHEParams(n=12, N=256, alpha_lv0=2.0**-20, alpha_lv1=2.0**-28)
+    eng = PallasKaratsubaEngine(interpret=True, tb=8, levels=1)
+    key = jax.random.PRNGKey(21)
+    kg, ke = jax.random.split(key)
+    sk, ck = rkeys.gen_keys(kg, params, engine_name=eng)
+    ck_lat = cloud_key_panels(ck, params, eng)
+    assert ck_lat.bk.shape[-1] == 2 * (params.N >> 1) - eng.tm
+
+    bits = jnp.zeros((8,), U32).at[1::2].set(1)
+    cx = rtlwe.encrypt_binary(jax.random.fold_in(ke, 0), sk.lv0, bits, params)
+    cy = rtlwe.encrypt_binary(jax.random.fold_in(ke, 1), sk.lv0, 1 - bits, params)
+    ref = gates.hom_nand(ck, cx, cy, params=params, engine_name=eng)
+    got = gates.hom_nand(ck_lat, cx, cy, params=params, engine_name=eng)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
 
 
 def test_pallas_k2_interpret_exact():
