@@ -237,8 +237,18 @@ RULES = """nander: evaluate logical expressions over encrypted bits.
 Ctrl-D to exit."""
 
 
-def nander_console(params=None, engine_name: str = "matmul", stdin=None, stdout=None):
-    """Interactive console (main.rs:20-70): keygen, then parse/eval/decrypt."""
+def nander_console(params=None, engine_name: str | None = None, stdin=None,
+                   stdout=None, latency_mode: bool = False):
+    """Interactive console (main.rs:20-70): keygen, then parse/eval/decrypt.
+
+    ``engine_name=None`` auto-selects the fastest exact engine for the
+    device (the fused Pallas kernel on TPU — the XLA matmul engine's
+    per-step operand build makes it ~16x slower at interactive batch
+    sizes: 2.7 s vs ~0.17 s per gate, measured 2026-08-20).
+    ``latency_mode`` additionally precomputes the kernel panel tables
+    (~12.6 GiB HBM at production parameters) — interactive expressions
+    evaluate a handful of gates at a time, exactly the regime where it
+    wins (keys.cloud_key_panels / BENCH.md 2026-08-20)."""
     import jax
     import numpy as np
 
@@ -248,11 +258,16 @@ def nander_console(params=None, engine_name: str = "matmul", stdin=None, stdout=
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
     params = params or DEFAULT_PARAMS
+    if engine_name is None:
+        from ..engine import select_fast_engine
+
+        engine_name = select_fast_engine(params)
 
     print(RULES, file=stdout)
     print("generating keys...", file=stdout, flush=True)
     t0 = time.perf_counter()
-    ctx = TFHE.new(jax.random.PRNGKey(int(time.time())), params, engine_name)
+    ctx = TFHE.new(jax.random.PRNGKey(int(time.time())), params, engine_name,
+                   latency_mode=latency_mode)
     print(f"keys ready in {time.perf_counter() - t0:.1f}s", file=stdout, flush=True)
 
     pros = FheLogic(ctx)
@@ -273,7 +288,7 @@ def nander_console(params=None, engine_name: str = "matmul", stdin=None, stdout=
         print(f"time: {dt:.0f} us", file=stdout, flush=True)
 
 
-def hom_nand_profile(params=None, engine_name: str = "matmul", iters: int = 100):
+def hom_nand_profile(params=None, engine_name: str | None = None, iters: int = 100):
     """Profile harness (reference ``nander`` 'profile' feature,
     lib.rs:174-198): one timed NAND then ``iters`` untimed NANDs for
     external profilers; here additionally reports amortized throughput."""
@@ -284,6 +299,10 @@ def hom_nand_profile(params=None, engine_name: str = "matmul", iters: int = 100)
     from ..params import DEFAULT_PARAMS
 
     params = params or DEFAULT_PARAMS
+    if engine_name is None:
+        from ..engine import select_fast_engine
+
+        engine_name = select_fast_engine(params)
     ctx = TFHE.new(jax.random.PRNGKey(0), params, engine_name)
     c1 = ctx.encrypt(1)
     c0 = ctx.encrypt(0)
@@ -306,4 +325,6 @@ if __name__ == "__main__":
     if "--profile" in sys.argv:
         hom_nand_profile()
     else:
-        nander_console()
+        # --latency: prebuild the kernel panel tables (faster interactive
+        # gates on TPU at ~12.6 GiB HBM; see keys.cloud_key_panels).
+        nander_console(latency_mode="--latency" in sys.argv)

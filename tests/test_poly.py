@@ -251,6 +251,19 @@ def test_pallas_k_cmux_step_interpret_exact():
     assert np.array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_cloud_key_panels_noop_for_engines_without_panels():
+    # Engines without prepare_panels (the XLA matmul path) return the key
+    # unchanged — latency_mode is safe to request on any backend.
+    import jax as _jax
+    from rustfhe_tpu import keys as rkeys
+    from rustfhe_tpu.keys import cloud_key_panels
+
+    params = TFHEParams(n=4, N=16)
+    sk, ck = rkeys.gen_keys(_jax.random.PRNGKey(0), params, engine_name="matmul")
+    ck2 = cloud_key_panels(ck, params, "matmul")
+    assert ck2.bk is ck.bk and ck2.ksk is ck.ksk
+
+
 def test_pallas_k_latency_mode_panels_bit_exact():
     # Latency mode: cmux_step fed precomputed panel tables (prepare_panels)
     # must match the per-step-build path bit-for-bit, end to end through a
