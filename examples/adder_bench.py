@@ -18,6 +18,7 @@ sys.path.insert(0, ".")
 from rustfhe_tpu.apps.circuits import evaluate_plain, ripple_carry_adder  # noqa: E402
 from rustfhe_tpu.apps.circuits import evaluate_encrypted  # noqa: E402
 from rustfhe_tpu.context import TFHE  # noqa: E402
+from rustfhe_tpu.engine import select_fast_engine  # noqa: E402
 from rustfhe_tpu.params import DEFAULT_PARAMS  # noqa: E402
 
 U32 = jnp.uint32
@@ -32,7 +33,10 @@ def main():
     print(f"{bits}-bit adder: {n_gates} gates, depth {circuit.depth}", flush=True)
 
     t0 = time.perf_counter()
-    ctx = TFHE.new(jax.random.PRNGKey(0), DEFAULT_PARAMS, "matmul")
+    # fastest exact engine + latency mode: circuit levels are small
+    # batches, exactly the prebuilt-panels regime (keys.cloud_key_panels)
+    ctx = TFHE.new(jax.random.PRNGKey(0), DEFAULT_PARAMS,
+                   select_fast_engine(DEFAULT_PARAMS), latency_mode=True)
     print(f"keygen: {time.perf_counter() - t0:.1f}s", flush=True)
 
     rs = np.random.RandomState(0)

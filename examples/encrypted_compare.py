@@ -39,7 +39,10 @@ def main():
           f"subtractor: {len(sub_c.gates)} gates, depth {sub_c.depth}")
 
     t0 = time.perf_counter()
-    ctx = TFHE.new(jax.random.PRNGKey(7), params)
+    from rustfhe_tpu.engine import select_fast_engine
+
+    # fastest exact engine for the device; circuit levels are small batches
+    ctx = TFHE.new(jax.random.PRNGKey(7), params, select_fast_engine(params))
     print(f"# keygen: {time.perf_counter() - t0:.1f}s  (n={params.n}, N={params.N})")
 
     rs = np.random.RandomState(3)

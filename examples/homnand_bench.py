@@ -16,6 +16,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 from rustfhe_tpu import gates, keys, tlwe  # noqa: E402
+from rustfhe_tpu.engine import select_fast_engine  # noqa: E402
 from rustfhe_tpu.params import DEFAULT_PARAMS as P  # noqa: E402
 
 U32 = jnp.uint32
@@ -31,11 +32,15 @@ TRUTH = {
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 
+    # fastest exact engine for the device (the fused Pallas kernel on
+    # TPU; the XLA matmul engine is ~4-16x slower per batch)
+    engine_name = select_fast_engine(P)
+    print(f"engine: {engine_name}", flush=True)
     print("generating keys...", flush=True)
     t0 = time.perf_counter()
     key = jax.random.PRNGKey(0)
     kg, ke = jax.random.split(key)
-    sk, ck = keys.gen_keys(kg, P, engine_name="matmul")
+    sk, ck = keys.gen_keys(kg, P, engine_name=engine_name)
     jax.block_until_ready(ck)
     print(f"keygen: {time.perf_counter() - t0:.2f}s", flush=True)
 
@@ -46,7 +51,7 @@ def main():
 
     for name, fn in gates.GATES_2IN.items():
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(ck, cx, cy, params=P, engine_name="matmul"))
+        out = jax.block_until_ready(fn(ck, cx, cy, params=P, engine_name=engine_name))
         dt = time.perf_counter() - t0
         dec = np.asarray(tlwe.decrypt_binary(out, sk.lv0))
         expect = TRUTH[name](pat[:, 0], pat[:, 1])
@@ -59,7 +64,7 @@ def main():
     bits = jnp.asarray(pat[:, 0])
     cn = tlwe.encrypt_binary(jax.random.fold_in(ke, 3), sk.lv0, bits, P)
     t0 = time.perf_counter()
-    out = jax.block_until_ready(gates.hom_not(ck, cn, params=P, engine_name="matmul"))
+    out = jax.block_until_ready(gates.hom_not(ck, cn, params=P, engine_name=engine_name))
     dt = time.perf_counter() - t0
     dec = np.asarray(tlwe.decrypt_binary(out, sk.lv0))
     ok = np.array_equal(dec, 1 - pat[:, 0])
