@@ -154,8 +154,19 @@ def select_fast_engine(params=None) -> str:
     set (the int8 MXU path and the fused Pallas kernel must produce exact
     results on every pattern or they are skipped; the bf16 engine's
     accumulations are provably exact in f32 and is the fallback).
+
+    ``RUSTFHE_ENGINE`` (env) overrides the probe entirely — an escape
+    hatch when the probe's compiles are expensive (e.g. a degraded
+    remote-compile path) and the right engine for the device is already
+    known.  The override skips the exactness gate; use a registered name.
     """
     import numpy as np
+    import os
+
+    override = os.environ.get("RUSTFHE_ENGINE")
+    if override:
+        get_engine(override)  # raises on unknown names
+        return override
 
     from ..params import DEFAULT_PARAMS
 

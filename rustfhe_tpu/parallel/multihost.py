@@ -72,13 +72,20 @@ class GateSession:
     """
 
     def __init__(self, key, params: TFHEParams, engine_name="matmul",
-                 model: int = 1):
+                 model: int = 1, latency_mode: bool = False):
         self.params = params
         self.engine_name = engine_name
         self.mesh = make_global_mesh(model=model)
         # Deterministic keygen: all hosts compute identical key material
         # from the shared seed — replicated placement needs no broadcast.
         self.sk, ck = gen_keys(key, params, engine_name)
+        if latency_mode:
+            # Prebuilt kernel panel tables (keys.cloud_key_panels): per-
+            # DEVICE HBM cost ~12.6 GiB at production parameters; wins for
+            # small per-device batches (interactive circuit levels).
+            from ..keys import cloud_key_panels
+
+            ck = cloud_key_panels(ck, params, engine_name)
         self.ck: CloudKey = shard_cloud_key(ck, self.mesh)
         self._fns = {
             kind: sharded_gate_fn(self.mesh, params, engine_name, kind=kind)

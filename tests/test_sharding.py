@@ -186,6 +186,14 @@ def test_sharded_pallas_fused_engine_bit_exact():
     dec = np.asarray(tlwe.decrypt_binary(out, sk.lv0))
     assert np.array_equal(dec, 1 - (np.asarray(bx) & np.asarray(by)))
 
+    # Latency-mode panels composed with shard_map: the panel-form BK rides
+    # the same replicated spec and the engine detects it inside the shard.
+    from rustfhe_tpu.keys import cloud_key_panels
+
+    ck_lat = shard_cloud_key(cloud_key_panels(ck, p, eng), mesh)
+    out_lat = fn(ck_lat.bk, ck_lat.ksk, cx, cy)
+    assert np.array_equal(np.asarray(out_lat), np.asarray(ref))
+
 
 def test_all_to_all_key_switch_bit_exact(setup):
     # One-hot built batch-sharded, transpose-exchanged (all_to_all) to KSK
