@@ -49,7 +49,9 @@ def main():
         flush=True,
     )
 
-    for B in (128, 1024, 8192):
+    # 16384 = the measured latency-mode batch cap; 32768 documents the OOM
+    # boundary (reported, not fatal).
+    for B in (128, 1024, 8192, 16384, 32768):
         rs = np.random.RandomState(B)
         bx = rs.randint(0, 2, size=B).astype(np.uint32)
         by = rs.randint(0, 2, size=B).astype(np.uint32)
@@ -67,9 +69,17 @@ def main():
         for tag, ck_use in (("build/step", ck), ("latency-mode", ck_lat)):
             if tag == "latency-mode" and not lat_available:
                 continue
-            out2 = jax.block_until_ready(
-                gates.hom_bootstrap(ck_use, pre, params=P, engine_name=engine_name)
-            )  # compile this key form
+            try:
+                out2 = jax.block_until_ready(
+                    gates.hom_bootstrap(ck_use, pre, params=P, engine_name=engine_name)
+                )  # compile this key form
+            except Exception as e:
+                print(
+                    f"B={B:6d} [{tag:12s}]: FAILED "
+                    f"({type(e).__name__}: {str(e)[:80]})",
+                    flush=True,
+                )
+                continue
             if tag == "latency-mode":
                 assert np.array_equal(np.asarray(out2), np.asarray(out)), (
                     "latency-mode output differs"

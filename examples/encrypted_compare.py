@@ -39,11 +39,10 @@ def main():
           f"subtractor: {len(sub_c.gates)} gates, depth {sub_c.depth}")
 
     t0 = time.perf_counter()
-    from rustfhe_tpu.engine import select_fast_engine
-
-    # fastest exact engine for the device; circuit levels are small batches
-    ctx = TFHE.new(jax.random.PRNGKey(7), params, select_fast_engine(params))
-    print(f"# keygen: {time.perf_counter() - t0:.1f}s  (n={params.n}, N={params.N})")
+    # engine_name=None: fastest exact engine for the device
+    ctx = TFHE.new(jax.random.PRNGKey(7), params, None)
+    print(f"# keygen: {time.perf_counter() - t0:.1f}s  "
+          f"(n={params.n}, N={params.N}, engine {ctx.engine_name})")
 
     rs = np.random.RandomState(3)
     a = rs.randint(0, 1 << bits, size=batch)

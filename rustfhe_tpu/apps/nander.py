@@ -258,17 +258,16 @@ def nander_console(params=None, engine_name: str | None = None, stdin=None,
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
     params = params or DEFAULT_PARAMS
-    if engine_name is None:
-        from ..engine import select_fast_engine
 
-        engine_name = select_fast_engine(params)
-
+    # Banner FIRST: auto-selection probes on device, which can take minutes
+    # through a degraded remote-compile path — the user must see life.
     print(RULES, file=stdout)
-    print("generating keys...", file=stdout, flush=True)
+    print("selecting engine + generating keys...", file=stdout, flush=True)
     t0 = time.perf_counter()
     ctx = TFHE.new(jax.random.PRNGKey(int(time.time())), params, engine_name,
                    latency_mode=latency_mode)
-    print(f"keys ready in {time.perf_counter() - t0:.1f}s", file=stdout, flush=True)
+    print(f"keys ready in {time.perf_counter() - t0:.1f}s "
+          f"(engine {ctx.engine_name})", file=stdout, flush=True)
 
     pros = FheLogic(ctx)
     for line in stdin:
@@ -299,10 +298,6 @@ def hom_nand_profile(params=None, engine_name: str | None = None, iters: int = 1
     from ..params import DEFAULT_PARAMS
 
     params = params or DEFAULT_PARAMS
-    if engine_name is None:
-        from ..engine import select_fast_engine
-
-        engine_name = select_fast_engine(params)
     ctx = TFHE.new(jax.random.PRNGKey(0), params, engine_name)
     c1 = ctx.encrypt(1)
     c0 = ctx.encrypt(0)

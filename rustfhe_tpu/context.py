@@ -34,12 +34,18 @@ class TFHE:
         self._enc_key = None
 
     @classmethod
-    def new(cls, key, params: TFHEParams = DEFAULT_PARAMS, engine_name: str = "matmul",
+    def new(cls, key, params: TFHEParams = DEFAULT_PARAMS, engine_name="matmul",
             latency_mode: bool = False) -> "TFHE":
-        """``latency_mode`` precomputes the engine's per-step kernel panel
-        tables (keys.cloud_key_panels): ~13.5 GB HBM at production
-        parameters, ~2x faster small-batch gates (interactive/REPL flows);
-        keep it off for large-batch throughput."""
+        """``engine_name=None`` auto-selects the fastest exact engine for
+        the device (on-device probe; see engine.select_fast_engine).
+        ``latency_mode`` precomputes the engine's per-step kernel panel
+        tables (keys.cloud_key_panels): ~12.6 GiB HBM at production
+        parameters, 2-3x faster small-batch gates (interactive/REPL
+        flows); keep it off for large-batch throughput."""
+        if engine_name is None:
+            from .engine import select_fast_engine
+
+            engine_name = select_fast_engine(params)
         kg, ke = jax.random.split(key)
         sk, ck = gen_keys(kg, params, engine_name)
         if latency_mode:

@@ -155,18 +155,16 @@ def select_fast_engine(params=None) -> str:
     results on every pattern or they are skipped; the bf16 engine's
     accumulations are provably exact in f32 and is the fallback).
 
-    ``RUSTFHE_ENGINE`` (env) overrides the probe entirely — an escape
-    hatch when the probe's compiles are expensive (e.g. a degraded
-    remote-compile path) and the right engine for the device is already
-    known.  The override skips the exactness gate; use a registered name.
+    ``RUSTFHE_ENGINE`` (env) narrows the probe to ONE named engine — an
+    escape hatch when the full candidate cascade is expensive (e.g. a
+    degraded remote-compile path) and the right engine for the device is
+    already known.  The named engine is STILL gated by the on-device
+    exactness probe (the repo invariant: engines must match the oracle
+    before being selectable — exact-integer wrongness is invisible until
+    decryption); an inexact override raises instead of returning.
     """
     import numpy as np
     import os
-
-    override = os.environ.get("RUSTFHE_ENGINE")
-    if override:
-        get_engine(override)  # raises on unknown names
-        return override
 
     from ..params import DEFAULT_PARAMS
 
@@ -178,6 +176,14 @@ def select_fast_engine(params=None) -> str:
     want = np.asarray(
         oracle.external_product_digits(oracle.prepare_trgsw(rows, params), digits, params)
     )
+    override = os.environ.get("RUSTFHE_ENGINE")
+    if override:
+        if engine_exact_on_probe(get_engine(override), params, rows, digits, want):
+            return override
+        raise RuntimeError(
+            f"RUSTFHE_ENGINE={override!r} is not exact on this backend "
+            f"(failed the oracle probe)"
+        )
     on_cpu = jnp.ones(1).devices().pop().platform == "cpu"
     # Probe order = descending real-scan speed: pallas_k2 measured 6,214.8
     # gates/s vs pallas_k's 5,552 in the round-1 driver bench (BENCH.md).

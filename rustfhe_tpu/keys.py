@@ -117,11 +117,19 @@ def cloud_key_panels(ck: CloudKey, params: TFHEParams, engine_name) -> CloudKey:
 
 
 def gen_keys(key, params: TFHEParams = None, engine_name="matmul"):
-    """One-call keygen: (SecretKey, CloudKey)."""
+    """One-call keygen: (SecretKey, CloudKey).
+
+    ``engine_name=None`` auto-selects the fastest exact engine for the
+    device (engine.select_fast_engine — runs an on-device probe; pass an
+    explicit name to skip it)."""
     if params is None:
         from .params import DEFAULT_PARAMS
 
         params = DEFAULT_PARAMS
+    if engine_name is None:
+        from .engine import select_fast_engine
+
+        engine_name = select_fast_engine(params)
     ks, kc = jax.random.split(key)
     sk = gen_secret_key(ks, params)
     ck = gen_cloud_key(kc, sk, params, engine_name)
