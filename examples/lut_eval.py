@@ -1,0 +1,94 @@
+"""Programmable bootstrapping demo: homomorphic lookup-table evaluation.
+
+Evaluates arbitrary functions f: Z_space -> Z_space on encrypted integers
+with ONE bootstrap each (rustfhe_tpu.pbs) — a capability the reference does
+not have, running on the same fused blind-rotate kernels as the gates:
+
+  * a fixed demo function (squaring mod space),
+  * a batch of RANDOM per-row functions (multi-LUT: a different table per
+    ciphertext in one fused program),
+  * a chained pair g(f(x)) showing outputs are valid fresh inputs.
+
+Every decode is asserted against the cleartext table before timing is
+reported.  Usage:
+
+  python examples/lut_eval.py [--space 8] [--batch 4096] [--params default]
+"""
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from rustfhe_tpu import pbs  # noqa: E402
+from rustfhe_tpu.context import TFHE  # noqa: E402
+from rustfhe_tpu.params import DEFAULT_PARAMS, TEST_PARAMS  # noqa: E402
+
+U32 = jnp.uint32
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--space", type=int, default=4,
+                    help="message space (power of two; noise-checked — at the "
+                         "reference parameter set space=4 is as sound as the "
+                         "gates; space=8 measured 18/4096 wrong on device)")
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--params", choices=["default", "test"], default="default")
+    args = ap.parse_args()
+    p = {"default": DEFAULT_PARAMS, "test": TEST_PARAMS}[args.params]
+    space, B = args.space, args.batch
+
+    ok, msg = pbs.check_pbs_space(p, space, min_sigmas=4.0)
+    print(f"# noise budget: {msg}" + ("" if ok else "  [UNSOUND — refusing]"))
+    if not ok:
+        sys.exit(1)
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform} {dev.device_kind}")
+    t0 = time.perf_counter()
+    ctx = TFHE.new(jax.random.PRNGKey(0), p, engine_name=None)
+    print(f"# keygen ({ctx.engine_name}): {time.perf_counter() - t0:.1f}s")
+
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.integers(0, space, size=(B,)), U32)
+    ct = ctx.encrypt_int(xs, space)
+
+    # 1. one function for the whole batch: squaring mod space
+    sq = jnp.asarray([(v * v) % space for v in range(space)], U32)
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(ctx.apply_lut(ct, sq, space))
+    print(f"# compile+first PBS batch: {time.perf_counter() - t0:.1f}s")
+    dec = np.asarray(ctx.decrypt_int(out, space))
+    assert np.array_equal(dec, np.asarray(sq)[np.asarray(xs)]), "square LUT wrong"
+    t0 = time.perf_counter()
+    jax.block_until_ready(ctx.apply_lut(ct, sq, space))
+    dt = time.perf_counter() - t0
+    print(f"# x^2 mod {space}: {B} lookups correct, {dt * 1e3:.0f} ms "
+          f"-> {B / dt:,.0f} PBS/s")
+
+    # 2. multi-LUT: a different random function per row, same program
+    tables = jnp.asarray(rng.integers(0, space, size=(B, space)), U32)
+    out = jax.block_until_ready(ctx.apply_lut(ct, tables, space))
+    dec = np.asarray(ctx.decrypt_int(out, space))
+    want = np.asarray(tables)[np.arange(B), np.asarray(xs)]
+    assert np.array_equal(dec, want), "multi-LUT wrong"
+    print(f"# multi-LUT: {B} distinct random functions correct in one program")
+
+    # 3. chaining: g(f(x)) — PBS outputs are valid fresh inputs
+    f = jnp.asarray(rng.permutation(space), U32)
+    g = jnp.asarray(rng.permutation(space), U32)
+    out = ctx.apply_lut(ctx.apply_lut(ct, f, space), g, space)
+    dec = np.asarray(ctx.decrypt_int(out, space))
+    assert np.array_equal(dec, np.asarray(g)[np.asarray(f)[np.asarray(xs)]])
+    print(f"# chained g(f(x)): {B} correct through two bootstraps")
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,7 @@ region per gate batch, and mesh sharding for scale-out.
 from .params import TFHEParams, DEFAULT_PARAMS, TEST_PARAMS, N2048_PARAMS
 from .keys import SecretKey, CloudKey, gen_keys, gen_secret_key, gen_cloud_key
 from .engine import get_engine, register_engine
-from . import torus, tlwe, trlwe, trgsw, decomp, poly, bootstrap, gates
+from . import torus, tlwe, trlwe, trgsw, decomp, poly, bootstrap, gates, pbs
 from .context import TFHE
 
 __version__ = "0.1.0"
@@ -37,4 +37,5 @@ __all__ = [
     "poly",
     "bootstrap",
     "gates",
+    "pbs",
 ]

@@ -124,3 +124,29 @@ class TFHE:
     def bootstrap_raw(self, pre):
         """Bootstrap a pre-combined batch (for fused circuit levels)."""
         return self._g(gates.hom_bootstrap, pre)
+
+    # ------------------ programmable bootstrapping -------------------- #
+    def encrypt_int(self, x, space: int):
+        """Encrypt ints in [0, space) (padding-bit encoding; pbs.py)."""
+        from . import pbs as _pbs
+
+        if self.sk is None:
+            raise ValueError("cloud-only context cannot encrypt")
+        return _pbs.encrypt_int(self._next_key(), self.sk.lv0, x, space, self.params)
+
+    def decrypt_int(self, cts, space: int):
+        from . import pbs as _pbs
+
+        if self.sk is None:
+            raise ValueError("cloud-only context cannot decrypt")
+        return _pbs.decrypt_int(cts, self.sk.lv0, space)
+
+    def apply_lut(self, cts, table, space: int):
+        """Programmable bootstrap: cts of x -> cts of table[x] (pbs.pbs).
+
+        ``table``: (space,) ints, or (..., space) for a different function
+        per batch row.  One bootstrap of cost; output noise is reset."""
+        from . import pbs as _pbs
+
+        return _pbs.pbs(self.ck, cts, jnp.asarray(table), space=space,
+                        params=self.params, engine_name=self.engine_name)

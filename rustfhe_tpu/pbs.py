@@ -1,0 +1,150 @@
+"""Programmable bootstrapping (PBS): arbitrary lookup tables on encrypted ints.
+
+The reference's gate bootstrap is one hard-coded lookup — a constant-mu test
+vector whose blind rotation computes sign(phase) (``hom_nand/src/tfhe.rs:81-88``
+with the fixed testvec at ``tfhe.rs:85``).  This module generalizes it into
+the standard TFHE "programmable bootstrapping": messages from Z_space encoded
+in the torus with one padding bit, and a staircase test vector carrying an
+ARBITRARY table, so one blind rotation evaluates ``table[x]`` homomorphically
+(and re-sets the noise, exactly like a gate bootstrap).  It is a capability
+the reference does not have, built entirely from pieces it does: the same
+``blind_rotate`` scan (and therefore the same fused Pallas kernels), the same
+sample extraction and identity key switch.
+
+Encoding (one padding bit, the standard convention): ``x in [0, space)`` maps
+to the torus value ``x / (2*space)``, so every valid plaintext phase lives in
+the first half [0, 1/2) of the torus and the blind-rotation index
+``phi_tilde = phase * 2N`` stays inside [0, N) — the negacyclic wraparound
+(coefficient sign flip past N) is never hit.  A half-bucket offset
+``1/(4*space)`` is added to the body before rotating so each bucket's phase
+window is CENTERED: the noise margin is a full half-bucket ``1/(4*space)`` on
+both sides, and in particular x = 0 with slightly negative noise cannot wrap
+to the top of the torus.
+
+Outputs encode ``table[x]`` in the SAME space, so PBS calls chain: the noise
+analysis of utils/noise.py applies verbatim with the decision margin 1/16
+replaced by ``1/(4*space)`` (``check_pbs_space`` below).  MEASURED at the
+production parameter set (TPU, B=4096, 2026-08-20, pallas_k2): space=4 has
+the same margin as the gates themselves (~5.8 true sigma; every lookup
+decoded correctly), while space=8's 1/32 bucket is a ~2.9-sigma margin —
+18/4096 wrong lookups — so the reference parameter set supports 2-bit PBS
+soundly and 3-bit only at a ~0.4% error rate (anchor 3 of utils/noise.py;
+``check_pbs_space`` applies the measured calibration and flags space=8).
+
+Batching follows the framework's batch-first rule: ``ct (..., n+1)`` with
+``table (space,)`` applies one function to the whole batch; ``table
+(..., space)`` (leading axes broadcastable against the ciphertext batch)
+evaluates a DIFFERENT function per batch row in the same fused program —
+"multi-LUT" evaluation at no extra cost over a gate batch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import tlwe, trlwe
+from .bootstrap import blind_rotate, identity_key_switch
+from .engine import resolve_engine
+from .keys import CloudKey
+from .params import TFHEParams
+
+U32 = jnp.uint32
+
+
+def _check_space(space: int, params: TFHEParams) -> None:
+    if space < 2 or space & (space - 1):
+        raise ValueError(f"space must be a power of two >= 2, got {space}")
+    if space > params.N:
+        raise ValueError(
+            f"space ({space}) cannot exceed N ({params.N}): each bucket needs "
+            f">= 1 test-vector coefficient"
+        )
+
+
+def encode_int(x, space: int) -> jnp.ndarray:
+    """Cleartext int(s) -> torus value(s) x / (2*space), uint32.
+
+    Values are taken mod 2*space (the padding bit makes the usable message
+    range [0, space); chainable outputs should stay in it).  Exact: 2*space
+    is a power of two, so it divides 2^32."""
+    step = U32((1 << 32) // (2 * space))
+    return (jnp.asarray(x).astype(U32) % U32(2 * space)) * step
+
+
+def decode_int(phase, space: int) -> jnp.ndarray:
+    """Torus phase(s) -> nearest bucket index in [0, 2*space)."""
+    k = (2 * space).bit_length() - 1  # log2(2*space)
+    half = U32((1 << 32) // (4 * space))
+    return ((jnp.asarray(phase, U32) + half) >> U32(32 - k)).astype(U32)
+
+
+def encrypt_int(key, s, x, space: int, params: TFHEParams) -> jnp.ndarray:
+    """Encrypt int(s) in [0, space) under lv0 key ``s``: (..., n+1) uint32."""
+    _check_space(space, params)
+    return tlwe.encrypt_torus(key, s, encode_int(x, space), params)
+
+
+def decrypt_int(ct, s, space: int) -> jnp.ndarray:
+    """Decrypt to the nearest message in [0, 2*space)."""
+    return decode_int(tlwe.phase(ct, s), space)
+
+
+def lut_testvec(table, space: int, params: TFHEParams) -> jnp.ndarray:
+    """Table (..., space) of ints -> staircase trivial TRLWE (..., 2, N).
+
+    Coefficient j of the test polynomial holds encode(table[j * space / N]):
+    N/space repeated coefficients per bucket, so every phase inside bucket
+    x's (centered) window extracts to the same value."""
+    _check_space(space, params)
+    table = jnp.asarray(table)
+    if table.shape[-1] != space:
+        raise ValueError(f"table last axis must be space={space}, got {table.shape}")
+    vals = encode_int(table, space)  # (..., space)
+    v = jnp.repeat(vals, params.N // space, axis=-1)  # (..., N)
+    return trlwe.trivial(v)
+
+
+@partial(jax.jit, static_argnames=("space", "params", "engine_name"))
+def pbs(ck: CloudKey, ct, table, *, space: int, params: TFHEParams,
+        engine_name: str = "matmul") -> jnp.ndarray:
+    """Programmable bootstrap: lv0 TLWE of x -> lv0 TLWE of table[x].
+
+    ``ct (..., n+1)`` uint32 encrypting x in [0, space) under the padding-bit
+    encoding; ``table (space,)`` or ``(..., space)`` ints (taken mod
+    2*space).  One compiled program per (space, batch shape) serves every
+    table — the table is a traced operand, not a constant.
+
+    Cost: exactly one gate bootstrap (same blind-rotate scan, same fused
+    kernels, same key switch) — ~7.8k PBS/s/chip at production parameters.
+    """
+    _check_space(space, params)
+    engine = resolve_engine(engine_name)
+    # Half-bucket pre-offset centers each bucket's phase window (module doc).
+    pre = jnp.asarray(ct, U32).at[..., 0].add(U32((1 << 32) // (4 * space)))
+    testvec = lut_testvec(table, space, params)
+    rotated = blind_rotate(pre, ck.bk, testvec, params, engine)
+    lv1 = trlwe.sample_extract(rotated, 0)
+    return identity_key_switch(lv1, ck.ksk, params, engine)
+
+
+def check_pbs_space(params: TFHEParams, space: int,
+                    min_sigmas: float = 5.0) -> tuple[bool, str]:
+    """Noise-budget verdict for PBS at ``space`` on bootstrapped inputs.
+
+    Same model as utils/noise.check_params with the gate margin 1/16
+    replaced by the PBS bucket half-width 1/(4*space), and the analytic
+    sigma inflated by the MEASURED factor of noise.py's anchor 3 (the
+    direct on-device phase-error measurement at the default set — the
+    uninflated model passed space=8, which then failed 18/4096 on device;
+    see the module docstring)."""
+    from .utils.noise import DEFAULT_SIGMA_INFLATION, noise_budget
+
+    _check_space(space, params)
+    sigma = noise_budget(params).sigma_total * DEFAULT_SIGMA_INFLATION
+    margin = (1.0 / (4.0 * space)) / sigma
+    msg = (f"space={space}: margin {margin:.1f} sigma "
+           f"(calibrated sigma={sigma:.2e})")
+    return margin >= min_sigmas, msg

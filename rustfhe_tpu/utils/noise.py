@@ -46,6 +46,20 @@ benches/noise_calibration_probe.py + BENCH.md):
    digits, E[d^2] = Bg^2/12 = (Bg/2)^2 / 3) — failures it predicts may not
    materialize, but parameter sets it passes are safe on BOTH measured
    axes.
+3. direct output-phase measurement at the DEFAULT set — PBS probe, TPU,
+   B=4096, 2026-08-20: decrypted bootstrap-output phase error std
+   1.08e-2 vs 6.9e-3 predicted (and 18/4096 beyond the 1/32 bucket
+   half-width of space-8 PBS — a 2.9-sigma Gaussian tail, self-
+   consistent).  At the default axis the model is therefore ~1.6x
+   OPTIMISTIC in sigma: a predicted margin of k sigma is ~k/1.6 measured
+   (the gates' predicted 9.1 sigma is a true 5.8 — still sound, matching
+   0/131072 measured failures).  ``DEFAULT_SIGMA_INFLATION`` below carries
+   this anchor; verdicts with tight margins (pbs.check_pbs_space) apply
+   it, and predicted margins in the 5-8 sigma band should be read as
+   3-5 true sigma.  (Raising CAL_ROUNDING to absorb the excess would
+   break anchor 1: FAST would then predict ~2x the failures measured, so
+   the excess is NOT of the eps^2 gadget-rounding form; it is recorded
+   empirically rather than attributed.)
 """
 
 from __future__ import annotations
@@ -59,6 +73,10 @@ MARGIN = 1.0 / 16.0
 
 # Fitted to anchor 1 (FAST: 12/8192 ~ 3 sigma); see module docstring.
 CAL_ROUNDING = 2.5
+
+# Anchor 3: measured/predicted output sigma at the DEFAULT set (1.08e-2 /
+# 6.9e-3).  Applied by tight-margin verdicts (pbs.check_pbs_space).
+DEFAULT_SIGMA_INFLATION = 1.6
 
 
 @dataclass(frozen=True)
