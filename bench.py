@@ -86,6 +86,15 @@ def main():
     jax.block_until_ready(ck)
     log(f"# keygen: {time.perf_counter() - t0:.2f}s")
 
+    if os.environ.get("BENCH_HYBRID", "0") == "1":
+        # Hybrid mode: odd-step panel tables prebuilt (~6.3 GB), blind
+        # rotation as 2-step fused pairs (keys.cloud_key_hybrid).  All
+        # correctness gates below then exercise the hybrid path too.
+        t0 = time.perf_counter()
+        ck = keys.cloud_key_hybrid(ck, p, engine_name)
+        jax.block_until_ready(ck)
+        log(f"# hybrid key (odd-step panels prebuilt): {time.perf_counter() - t0:.2f}s")
+
     def encrypt(bits, salt):
         return tlwe.encrypt_binary(
             jax.random.fold_in(ke, salt), sk.lv0, jnp.asarray(bits, U32), p

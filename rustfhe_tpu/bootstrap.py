@@ -61,11 +61,39 @@ def blind_rotate(ct, bk_prepared, testvec, params: TFHEParams, engine) -> jnp.nd
     if enter is not None:
         acc = enter(acc, params)
 
-    if getattr(engine, "fuse_step", False):
+    from .keys import HybridBK
+
+    if isinstance(bk_prepared, HybridBK):
+        # Hybrid mode (keys.cloud_key_hybrid): 2-step fused pairs with the
+        # odd step's panel table prebuilt, then the standard tail.
+        hb = bk_prepared
+        npairs = hb.prep_even.shape[0]
+        a_pairs = a_steps[: 2 * npairs].reshape(
+            (npairs, 2) + a_steps.shape[1:]
+        )
+
+        def pair_step(acc, xs):
+            prep_e, pan_o, a2 = xs
+            return engine.cmux_step_pair(prep_e, pan_o, acc, a2, params), None
+
+        acc, _ = jax.lax.scan(
+            pair_step, acc, (hb.prep_even, hb.panels_odd, a_pairs)
+        )
+        if hb.prep_tail.shape[0]:
+            def tail_step(acc, xs):
+                bk_i, a_i = xs
+                return engine.cmux_step(bk_i, acc, a_i, params), None
+
+            acc, _ = jax.lax.scan(
+                tail_step, acc, (hb.prep_tail, a_steps[2 * npairs :])
+            )
+    elif getattr(engine, "fuse_step", False):
         # Engine provides the whole CMux step as one fused kernel.
         def step(acc, xs):
             bk_i, a_i = xs
             return engine.cmux_step(bk_i, acc, a_i, params), None
+
+        acc, _ = jax.lax.scan(step, acc, (bk_prepared, a_steps))
     else:
         def step(acc, xs):
             bk_i, a_i = xs
@@ -75,7 +103,7 @@ def blind_rotate(ct, bk_prepared, testvec, params: TFHEParams, engine) -> jnp.nd
             cross = engine.external_product_digits(bk_i, digits, params)
             return (acc + cross).astype(U32), None
 
-    acc, _ = jax.lax.scan(step, acc, (bk_prepared, a_steps))
+        acc, _ = jax.lax.scan(step, acc, (bk_prepared, a_steps))
 
     exit_ = getattr(engine, "scan_exit", None)
     if exit_ is not None:

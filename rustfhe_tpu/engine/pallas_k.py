@@ -205,7 +205,7 @@ def _karatsuba_accumulate(dj, w_vmem, c, *, ns, lvls, T, num_limbs, limb_bits,
 # Fused CMux step kernel (residue layout)
 # --------------------------------------------------------------------- #
 def _kernel_step_k(w_hbm, acc_ref, n_ref, o_ref, w_vmem, sem, *, params,
-                   levels, num_limbs, limb_bits, tb, tm):
+                   levels, num_limbs, limb_bits, tb, tm, unroll=1):
     b = pl.program_id(0)
     R = 1 << levels
     T = 3 ** levels
@@ -218,61 +218,75 @@ def _kernel_step_k(w_hbm, acc_ref, n_ref, o_ref, w_vmem, sem, *, params,
         cp.start()
         cp.wait()
 
-    n_col = n_ref[:, 0:1]  # (tb, 1) int32
     acc = acc_ref[:, :]  # (tb, 2*R*ns) u32 residue layout
-    rot = _rotate_res_inkernel(acc, n_col, ns, levels)
-    diff = (rot - acc).astype(U32)
-    u = (diff + mask) ^ mask  # decomposition carry, whole plane at once
+    for s in range(unroll):
+        n_col = n_ref[:, s : s + 1]  # (tb, 1) int32
+        rot = _rotate_res_inkernel(acc, n_col, ns, levels)
+        diff = (rot - acc).astype(U32)
+        u = (diff + mask) ^ mask  # decomposition carry, whole plane at once
 
-    # Digit extraction per level over the whole plane, then the Karatsuba
-    # operand tree per (p, lv).  Each balanced digit is the bgbit-bit sign
-    # extension of its window, extracted with two static shifts (shl to the
-    # top, arithmetic shr back) — measured 2.098 vs 2.110 ms/step against
-    # the shift+and+and+mul+add form (benches/vpu_reduce_probe.py,
-    # 2026-08-20, same session, exact on device).  Sums are taken in int32
-    # (Mosaic has no int8 vector add) and cast down:
-    # |sum| <= Bg/2 * 2^levels <= 128.
-    ui = jax.lax.bitcast_convert_type(u, I32)
-    dig_planes = []
-    for lv in range(lvls):
-        dig_planes.append(
-            (ui << I32(params.bgbit * lv)) >> I32(32 - params.bgbit)
-        )
-    dj = []  # j = p*lvls + lv -> T int8 operand planes
-    for p in (0, 1):
-        base = R * p * ns
+        # Digit extraction per level over the whole plane, then the Karatsuba
+        # operand tree per (p, lv).  Each balanced digit is the bgbit-bit sign
+        # extension of its window, extracted with two static shifts (shl to the
+        # top, arithmetic shr back) — measured 2.098 vs 2.110 ms/step against
+        # the shift+and+and+mul+add form (benches/vpu_reduce_probe.py,
+        # 2026-08-20, same session, exact on device).  Sums are taken in int32
+        # (Mosaic has no int8 vector add) and cast down:
+        # |sum| <= Bg/2 * 2^levels <= 128.
+        ui = jax.lax.bitcast_convert_type(u, I32)
+        dig_planes = []
         for lv in range(lvls):
-            d = dig_planes[lv]
-            res = [d[:, base + i * ns : base + (i + 1) * ns] for i in range(R)]
-            planes = tree_planes(res, lambda a, b: a + b)
-            dj.append([x.astype(I8) for x in planes])
+            dig_planes.append(
+                (ui << I32(params.bgbit * lv)) >> I32(32 - params.bgbit)
+            )
+        dj = []  # j = p*lvls + lv -> T int8 operand planes
+        for p in (0, 1):
+            base = R * p * ns
+            for lv in range(lvls):
+                d = dig_planes[lv]
+                res = [d[:, base + i * ns : base + (i + 1) * ns] for i in range(R)]
+                planes = tree_planes(res, lambda a, b: a + b)
+                dj.append([x.astype(I8) for x in planes])
 
-    for c in (0, 1):
-        outs = _karatsuba_accumulate(
-            dj, w_vmem, c, ns=ns, lvls=lvls, T=T, num_limbs=num_limbs,
-            limb_bits=limb_bits, tm=tm, tb=tb,
-        )
-        for i in range(R):
-            seg = slice((R * c + i) * ns, (R * c + i + 1) * ns)
-            o_ref[:, seg] = acc_ref[:, seg] + outs[i]
+        new_segs = []
+        for c in (0, 1):
+            outs = _karatsuba_accumulate(
+                dj, w_vmem.at[s] if unroll > 1 else w_vmem, c, ns=ns,
+                lvls=lvls, T=T, num_limbs=num_limbs, limb_bits=limb_bits,
+                tm=tm, tb=tb,
+            )
+            for i in range(R):
+                seg = slice((R * c + i) * ns, (R * c + i + 1) * ns)
+                new_segs.append(acc[:, seg] + outs[i])
+        if s == unroll - 1:
+            for gi in range(2 * R):
+                o_ref[:, gi * ns : (gi + 1) * ns] = new_segs[gi]
+        else:
+            # intermediate accumulator stays in VMEM/registers — the acc
+            # HBM round trip is paid once per unroll group, not per step.
+            acc = jnp.concatenate(new_segs, axis=1)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "levels", "num_limbs", "limb_bits", "tb", "tm", "interpret"),
+    static_argnames=("params", "levels", "num_limbs", "limb_bits", "tb", "tm",
+                     "unroll", "interpret"),
 )
 def fused_cmux_step_k(acc_flat, a_tilde, panels, *, params, levels=1,
-                      num_limbs=4, limb_bits=8, tb=128, tm=TM, interpret=False):
-    """One blind-rotate step in residue layout: acc_flat (B, 2N) u32,
-    a_tilde (B,) int32 in [0, 2N), panels from
-    build_panels_doubling(prepared, N >> levels, tm) -> new acc (B, 2N)."""
+                      num_limbs=4, limb_bits=8, tb=128, tm=TM, unroll=1,
+                      interpret=False):
+    """``unroll`` blind-rotate steps in residue layout: acc_flat (B, 2N)
+    u32, a_tilde (B,) int32 in [0, 2N) (or (B, unroll) for unroll > 1),
+    panels from build_panels_doubling(prepared, N >> levels, tm), stacked
+    on a leading unroll axis when unroll > 1 -> new acc (B, 2N)."""
     B = acc_flat.shape[0]
     T = 3 ** levels
     ns = params.N >> levels
     rows = 2 * params.l * num_limbs * T * tm
     width = 2 * ns - tm
     assert B % tb == 0 and ns % tm == 0
-    assert panels.shape == (2, rows, width), panels.shape
+    pshape = (unroll, 2, rows, width) if unroll > 1 else (2, rows, width)
+    assert panels.shape == pshape, (panels.shape, pshape)
 
     # Propagate varying-mesh-axes so the kernel composes with shard_map
     # under check_vma (e.g. acc varying over 'data', panels replicated).
@@ -281,28 +295,28 @@ def fused_cmux_step_k(acc_flat, a_tilde, panels, *, params, levels=1,
     return pl.pallas_call(
         functools.partial(
             _kernel_step_k, params=params, levels=levels, num_limbs=num_limbs,
-            limb_bits=limb_bits, tb=tb, tm=tm,
+            limb_bits=limb_bits, tb=tb, tm=tm, unroll=unroll,
         ),
         out_shape=jax.ShapeDtypeStruct((B, 2 * params.N), U32, vma=vma),
         grid=(B // tb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((tb, 2 * params.N), lambda b: (b, 0)),
-            pl.BlockSpec((tb, 1), lambda b: (b, 0)),
+            pl.BlockSpec((tb, unroll), lambda b: (b, 0)),
         ],
         out_specs=pl.BlockSpec((tb, 2 * params.N), lambda b: (b, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, width), I8),
+            pltpu.VMEM(pshape, I8),
             pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * 2 * (2 * params.l) * num_limbs * T * ns * ns,
-            bytes_accessed=B * 2 * params.N * 4 * 2 + 2 * rows * width,
+            flops=2 * B * 2 * (2 * params.l) * num_limbs * T * ns * ns * unroll,
+            bytes_accessed=B * 2 * params.N * 4 * 2 + 2 * rows * width * unroll,
             transcendentals=0,
         ),
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(panels, acc_flat, a_tilde.astype(I32).reshape(B, 1))
+    )(panels, acc_flat, a_tilde.astype(I32).reshape(B, unroll))
 
 
 # --------------------------------------------------------------------- #
@@ -503,6 +517,34 @@ class PallasKaratsubaEngine:
             a2, n2, panels, params=params, levels=self.levels,
             num_limbs=self.num_limbs, limb_bits=self.limb_bits, tb=self.tb,
             tm=self.tm, interpret=self.interpret,
+        )
+        if pad:
+            out = out[: out.shape[0] - pad]
+        return out.reshape(lead + (2 * params.N,))
+
+    def cmux_step_pair(self, prep_even, panels_odd, acc_flat, a_pair, params):
+        """TWO fused blind-rotate steps (hybrid mode, keys.cloud_key_hybrid):
+        the even step's panel table is built per call (overlapped by XLA as
+        in the standard scan), the odd step's comes PREBUILT; the
+        intermediate accumulator never round-trips HBM.  Measured 1.730 vs
+        1.863 ms/step same-session at B=8192 (+7.7%;
+        benches/hybrid_unroll_probe.py, bit-exact vs two standard steps).
+
+        acc_flat (..., 2N) u32 residue layout; a_pair (2, ...) int32."""
+        ns = params.N >> self.levels
+        lead = acc_flat.shape[:-1]
+        a2 = acc_flat.reshape((-1, 2 * params.N))
+        n2 = jnp.moveaxis(a_pair, 0, -1).reshape((-1, 2))
+        pad = (-a2.shape[0]) % self.tb
+        if pad:
+            a2 = jnp.pad(a2, ((0, pad), (0, 0)))
+            n2 = jnp.pad(n2, ((0, pad), (0, 0)))
+        pan_e = build_panels_doubling(prep_even, ns, self.tm)
+        panels = jnp.stack([pan_e, panels_odd])
+        out = fused_cmux_step_k(
+            a2, n2, panels, params=params, levels=self.levels,
+            num_limbs=self.num_limbs, limb_bits=self.limb_bits, tb=self.tb,
+            tm=self.tm, unroll=2, interpret=self.interpret,
         )
         if pad:
             out = out[: out.shape[0] - pad]

@@ -116,6 +116,43 @@ def cloud_key_panels(ck: CloudKey, params: TFHEParams, engine_name) -> CloudKey:
     return CloudKey(bk=prep(ck.bk, params), ksk=ck.ksk)
 
 
+class HybridBK(NamedTuple):
+    """Bootstrapping key in HYBRID form (cloud_key_hybrid): the blind
+    rotation runs as 2-step fused pairs — the even step's kernel panel
+    table built per step (overlapped, as in the standard scan), the odd
+    step's PREBUILT here — plus a tail of standard single steps when n is
+    odd.  Half the latency-mode table (~6.3 GB at production parameters)
+    buys the unrolled kernel's halved accumulator HBM traffic at ANY batch
+    size, including ones the full 12.6 GiB table cannot fit."""
+
+    prep_even: jnp.ndarray   # (n//2, ...) engine-prepared TRGSW rows
+    panels_odd: jnp.ndarray  # (n//2, ...) prebuilt kernel panel tables
+    prep_tail: jnp.ndarray   # (n % 2, ...) leftover standard step(s)
+
+
+def cloud_key_hybrid(ck: CloudKey, params: TFHEParams, engine_name) -> CloudKey:
+    """Hybrid-mode cloud key: odd-step panel tables precomputed, even built
+    per step.  Engines without a fused pair step (non-Pallas paths) are
+    returned unchanged.  Measured +7.7% throughput over the standard key
+    (1.730 vs 1.863 ms/step, benches/hybrid_unroll_probe.py), bit-exact."""
+    engine = resolve_engine(engine_name)
+    prep = getattr(engine, "prepare_panels", None)
+    if prep is None or not hasattr(engine, "cmux_step_pair"):
+        return ck
+    if isinstance(ck.bk, HybridBK):
+        return ck
+    n = ck.bk.shape[0]
+    npairs = n // 2
+    return CloudKey(
+        bk=HybridBK(
+            prep_even=ck.bk[0 : 2 * npairs : 2],
+            panels_odd=prep(ck.bk[1 : 2 * npairs : 2], params),
+            prep_tail=ck.bk[2 * npairs :],
+        ),
+        ksk=ck.ksk,
+    )
+
+
 def gen_keys(key, params: TFHEParams = None, engine_name="matmul"):
     """One-call keygen: (SecretKey, CloudKey).
 

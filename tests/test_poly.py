@@ -368,3 +368,41 @@ def test_probe_vectors_catch_edge_broken_engine():
     # The probe set must contain both edge triggers by construction.
     assert (np.asarray(rows).view(np.uint8) == 0x80).any()
     assert (digits == -params.half_bg).any()
+
+
+def test_pallas_k_hybrid_mode_bit_exact():
+    # Hybrid mode (keys.cloud_key_hybrid): blind rotation as 2-step fused
+    # pairs (odd-step panels prebuilt, even built per step) + a standard
+    # tail step for odd n — must match the standard scan bit-for-bit
+    # through a full gate.  n=13 exercises 6 pairs AND the leftover step.
+    from rustfhe_tpu import gates, keys as rkeys, tlwe as rtlwe
+    from rustfhe_tpu.engine.pallas_k import PallasKaratsubaEngine
+    from rustfhe_tpu.keys import HybridBK, cloud_key_hybrid
+
+    params = TFHEParams(n=13, N=256, alpha_lv0=2.0**-20, alpha_lv1=2.0**-28)
+    eng = PallasKaratsubaEngine(interpret=True, tb=8, levels=1)
+    key = jax.random.PRNGKey(23)
+    kg, ke = jax.random.split(key)
+    sk, ck = rkeys.gen_keys(kg, params, engine_name=eng)
+    ck_h = cloud_key_hybrid(ck, params, eng)
+    assert isinstance(ck_h.bk, HybridBK)
+    assert ck_h.bk.prep_even.shape[0] == 6 and ck_h.bk.prep_tail.shape[0] == 1
+    assert cloud_key_hybrid(ck_h, params, eng).bk is ck_h.bk  # idempotent
+
+    bits = jnp.zeros((8,), U32).at[1::2].set(1)
+    cx = rtlwe.encrypt_binary(jax.random.fold_in(ke, 0), sk.lv0, bits, params)
+    cy = rtlwe.encrypt_binary(jax.random.fold_in(ke, 1), sk.lv0, 1 - bits, params)
+    ref = gates.hom_nand(ck, cx, cy, params=params, engine_name=eng)
+    got = gates.hom_nand(ck_h, cx, cy, params=params, engine_name=eng)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_cloud_key_hybrid_noop_for_engines_without_pair_step():
+    import jax as _jax
+    from rustfhe_tpu import keys as rkeys
+    from rustfhe_tpu.keys import cloud_key_hybrid
+
+    params = TFHEParams(n=4, N=16)
+    sk, ck = rkeys.gen_keys(_jax.random.PRNGKey(0), params, engine_name="matmul")
+    ck2 = cloud_key_hybrid(ck, params, "matmul")
+    assert ck2.bk is ck.bk and ck2.ksk is ck.ksk
