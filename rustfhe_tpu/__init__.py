@@ -13,6 +13,7 @@ from .keys import SecretKey, CloudKey, gen_keys, gen_secret_key, gen_cloud_key
 from .engine import get_engine, register_engine
 from . import torus, tlwe, trlwe, trgsw, decomp, poly, bootstrap, gates, pbs
 from .context import TFHE
+from .ints import FheUint, FheInt
 
 __version__ = "0.1.0"
 
@@ -29,6 +30,8 @@ __all__ = [
     "get_engine",
     "register_engine",
     "TFHE",
+    "FheUint",
+    "FheInt",
     "torus",
     "tlwe",
     "trlwe",

@@ -125,6 +125,29 @@ class TFHE:
         """Bootstrap a pre-combined batch (for fused circuit levels)."""
         return self._g(gates.hom_bootstrap, pre)
 
+    # ----------------------- typed integers --------------------------- #
+    def encrypt_uint(self, values, width: int):
+        """Encrypt unsigned integers -> batched ``FheUint`` (ints.py)."""
+        from .ints import FheUint
+
+        return FheUint.encrypt(self, values, width)
+
+    def encrypt_sint(self, values, width: int):
+        """Encrypt signed integers -> batched ``FheInt`` (two's complement)."""
+        from .ints import FheInt
+
+        return FheInt.encrypt(self, values, width)
+
+    def trivial_uint(self, values, width: int):
+        from .ints import FheUint
+
+        return FheUint.trivial(self, values, width)
+
+    def trivial_sint(self, values, width: int):
+        from .ints import FheInt
+
+        return FheInt.trivial(self, values, width)
+
     # ------------------ programmable bootstrapping -------------------- #
     def encrypt_int(self, x, space: int):
         """Encrypt ints in [0, space) (padding-bit encoding; pbs.py)."""

@@ -1,0 +1,340 @@
+"""Batched encrypted fixed-width integers: ``FheUint`` / ``FheInt``.
+
+The reference exposes single encrypted *bits* plus a gate REPL
+(``nander/src/lib.rs:19-38``); real users of a TFHE framework want typed
+integers (the ``FheUint8``-style API of modern TFHE libraries).  This
+module provides them as a thin, fully batched layer over the level-fused
+circuit evaluator (``apps/circuits.py``): an encrypted integer is a stack
+of TLWE bit ciphertexts ``(..., width, n+1)`` (LSB first), and every
+arithmetic op lowers to one standard-cell circuit evaluated with ONE
+batched bootstrap per level across both the integer's bits and all user
+batch axes — the TPU-first shape of the computation.
+
+Cost notes (bootstraps are the only expensive op):
+  * ``~x`` and comparisons' final negations are LINEAR (``tlwe.neg`` — the
+    binary encoding is ±1/8, so NOT is negation, ``tfhe.rs:27``): free.
+  * plaintext shifts are ciphertext-plane moves: free.
+  * ``& | ^`` are one single-level batched bootstrap over all bits.
+  * ``+ - * // %`` and comparisons run their cell circuit level-fused.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import tlwe
+from .apps import circuits
+
+U32 = jnp.uint32
+
+
+def _select_bits(ctx, cond, bits_true, bits_false):
+    """mux over bit-plane stacks; cond (..., n+1) broadcasts over the
+    width axis.  Returns bits of the true branch where cond=1."""
+    return ctx.mux(cond[..., None, :], bits_false, bits_true)
+
+
+class FheUint:
+    """Encrypted unsigned integer, fixed ``width`` bits, wrapping mod
+    2^width; arbitrary leading batch axes.
+
+    ``bits``: uint32 array ``(..., width, n+1)`` of TLWE ciphertexts,
+    LSB first.
+    """
+
+    SIGNED = False
+
+    def __init__(self, ctx, bits):
+        self.ctx = ctx
+        self.bits = jnp.asarray(bits, U32)
+        assert self.bits.ndim >= 2, "bits must be (..., width, n+1)"
+
+    # ------------------------- construction --------------------------- #
+    @classmethod
+    def encrypt(cls, ctx, values, width: int) -> "FheUint":
+        return cls(ctx, ctx.encrypt(cls._to_bits(values, width)))
+
+    @classmethod
+    def trivial(cls, ctx, values, width: int) -> "FheUint":
+        """Noiseless ciphertexts of plaintext constants (AsLogic,
+        tlwe.rs:80-87) — the evaluator-side way to mix plaintexts in."""
+        return cls(ctx, ctx.trivial(cls._to_bits(values, width)))
+
+    @staticmethod
+    def _to_bits(values, width: int):
+        assert 0 < width <= 64
+        v = np.asarray(values, np.uint64)
+        idx = np.arange(width, dtype=np.uint64)
+        return jnp.asarray((v[..., None] >> idx) & np.uint64(1), U32)
+
+    def decrypt(self):
+        """Decrypt to integers (np.uint64 / np.int64 for FheInt)."""
+        assert self.width <= 64
+        bits = np.asarray(self.ctx.decrypt(self.bits), np.uint64)
+        val = np.zeros(bits.shape[:-1], np.uint64)
+        for i in range(self.width):
+            val |= bits[..., i] << np.uint64(i)
+        if self.SIGNED:
+            sign = (val >> np.uint64(self.width - 1)) & np.uint64(1)
+            return (val.astype(np.int64)
+                    - (sign.astype(np.int64) << np.int64(self.width)))
+        return val
+
+    # --------------------------- plumbing ----------------------------- #
+    @property
+    def width(self) -> int:
+        return self.bits.shape[-2]
+
+    @property
+    def batch_shape(self):
+        return self.bits.shape[:-2]
+
+    def _like(self, bits) -> "FheUint":
+        return type(self)(self.ctx, bits)
+
+    def _zero_plane(self):
+        """A trivial-zero ciphertext plane shaped like one bit plane."""
+        zeros = jnp.zeros(self.batch_shape + (1,), U32)
+        return self.ctx.trivial(zeros)
+
+    def _ext_planes(self, k: int):
+        """k extension planes: zeros (unsigned) / copies of the sign plane
+        (signed).  Copying a ciphertext is a valid sign extension — the
+        planes decrypt equal by construction."""
+        if self.SIGNED:
+            msb = self.bits[..., -1:, :]
+            return jnp.broadcast_to(msb, self.batch_shape + (k,) + msb.shape[-1:])
+        z = self._zero_plane()
+        return jnp.broadcast_to(z, self.batch_shape + (k,) + z.shape[-1:])
+
+    def extend(self, width: int) -> "FheUint":
+        """Zero-extend (FheUint) / sign-extend (FheInt) to ``width``."""
+        if width == self.width:
+            return self
+        assert width > self.width
+        ext = self._ext_planes(width - self.width)
+        return self._like(jnp.concatenate([self.bits, ext], axis=-2))
+
+    def _coerce(self, other) -> tuple["FheUint", "FheUint"]:
+        if isinstance(other, (int, np.integer)):
+            other = type(self).trivial(
+                self.ctx,
+                jnp.full(self.batch_shape, int(other) & ((1 << self.width) - 1),
+                         U32),
+                self.width,
+            )
+        if not isinstance(other, FheUint):
+            return NotImplemented, NotImplemented
+        assert other.SIGNED == self.SIGNED, "cannot mix FheUint and FheInt"
+        w = max(self.width, other.width)
+        return self.extend(w), other.extend(w)
+
+    def _run(self, cell: circuits.Circuit, *operands: "FheUint"):
+        """Evaluate a standard cell on the concatenated bit planes; returns
+        the output planes ``(..., n_out, n+1)``."""
+        ct_in = jnp.concatenate([o.bits for o in operands], axis=-2)
+        return circuits.evaluate_encrypted(cell, self.ctx, ct_in)
+
+    # ------------------------- arithmetic ----------------------------- #
+    def add_with_carry(self, other):
+        a, b = self._coerce(other)
+        out = a._run(circuits.ripple_carry_adder(a.width), a, b)
+        return a._like(out[..., : a.width, :]), out[..., a.width, :]
+
+    def __add__(self, other):
+        a, b = self._coerce(other)
+        if a is NotImplemented:
+            return NotImplemented
+        s, _carry = a.add_with_carry(b)
+        return s
+
+    __radd__ = __add__
+
+    def sub_with_borrow(self, other):
+        """(self - other mod 2^w, borrow bit ct); borrow=1 iff
+        self < other (unsigned)."""
+        a, b = self._coerce(other)
+        out = a._run(circuits.ripple_borrow_subtractor(a.width), a, b)
+        return a._like(out[..., : a.width, :]), out[..., a.width, :]
+
+    def __sub__(self, other):
+        a, b = self._coerce(other)
+        if a is NotImplemented:
+            return NotImplemented
+        d, _borrow = a.sub_with_borrow(b)
+        return d
+
+    def __rsub__(self, other):
+        a, b = self._coerce(other)
+        return b - a
+
+    def __neg__(self):
+        return type(self).trivial(
+            self.ctx, jnp.zeros(self.batch_shape, U32), self.width) - self
+
+    def mul_full(self, other):
+        """Full-width product (2w bits)."""
+        a, b = self._coerce(other)
+        out = a._run(circuits.array_multiplier(a.width), a, b)
+        return a._like(out)
+
+    def __mul__(self, other):
+        # Truncated product mod 2^w: identical bits for signed/unsigned.
+        a, b = self._coerce(other)
+        if a is NotImplemented:
+            return NotImplemented
+        return a._like(a.mul_full(b).bits[..., : a.width, :])
+
+    __rmul__ = __mul__
+
+    def divmod(self, other):
+        """Unsigned restoring long division: (quotient, remainder).
+
+        Division by zero follows the usual TFHE-library convention:
+        quotient = 2^w - 1, remainder = self.  w subtract+select rounds,
+        each level-fused; the quotient bits are linear NOTs of fresh
+        borrow bits (no extra bootstraps).
+        """
+        assert not self.SIGNED, "divmod is defined on FheUint"
+        a, b = self._coerce(other)
+        w = a.width
+        r = type(a).trivial(a.ctx, jnp.zeros(a.batch_shape, U32), w)
+        q_planes = [None] * w
+        for i in reversed(range(w)):
+            # r = (r << 1) | a[i]: pure plane shuffle.
+            r = a._like(jnp.concatenate(
+                [a.bits[..., i : i + 1, :], r.bits[..., : w - 1, :]], axis=-2))
+            diff, borrow = r.sub_with_borrow(b)
+            r = a._like(_select_bits(a.ctx, borrow, r.bits, diff.bits))
+            q_planes[i] = tlwe.neg(borrow)  # q[i] = NOT borrow, linear
+        q = a._like(jnp.stack(q_planes, axis=-2))
+        return q, r
+
+    def __floordiv__(self, other):
+        return self.divmod(other)[0]
+
+    def __mod__(self, other):
+        return self.divmod(other)[1]
+
+    # -------------------------- bitwise ------------------------------- #
+    def _bitop(self, op: str, other):
+        a, b = self._coerce(other)
+        if a is NotImplemented:
+            return NotImplemented
+        return a._like(getattr(a.ctx, op)(a.bits, b.bits))
+
+    def __and__(self, other):
+        return self._bitop("and_", other)
+
+    def __or__(self, other):
+        return self._bitop("or_", other)
+
+    def __xor__(self, other):
+        return self._bitop("xor", other)
+
+    __rand__, __ror__, __rxor__ = __and__, __or__, __xor__
+
+    def __invert__(self):
+        # Binary encoding is ±1/8: NOT is linear negation (tfhe.rs:27).
+        return self._like(tlwe.neg(self.bits))
+
+    def __lshift__(self, k: int):
+        k = int(k)
+        assert 0 <= k
+        if k == 0:
+            return self
+        if k >= self.width:
+            return type(self).trivial(
+                self.ctx, jnp.zeros(self.batch_shape, U32), self.width)
+        z = jnp.broadcast_to(self._zero_plane(),
+                             self.batch_shape + (k, self.bits.shape[-1]))
+        return self._like(
+            jnp.concatenate([z, self.bits[..., : self.width - k, :]], axis=-2))
+
+    def __rshift__(self, k: int):
+        """Logical shift (FheUint) / arithmetic shift (FheInt)."""
+        k = int(k)
+        assert 0 <= k
+        if k == 0:
+            return self
+        k = min(k, self.width)
+        if k == self.width:  # unsigned -> zeros; signed -> all sign planes
+            return self._like(self._ext_planes(k))
+        return self._like(jnp.concatenate(
+            [self.bits[..., k:, :], self._ext_planes(k)], axis=-2))
+
+    # ------------------------- comparisons ---------------------------- #
+    def _cmp_bits(self):
+        """Bit planes used for magnitude comparison: unsigned uses the raw
+        planes; signed flips the sign plane (linear NOT) so two's-complement
+        order becomes unsigned order."""
+        if not self.SIGNED:
+            return self.bits
+        flipped = tlwe.neg(self.bits[..., -1:, :])
+        return jnp.concatenate([self.bits[..., :-1, :], flipped], axis=-2)
+
+    def _compare(self, other):
+        """(lt, eq, gt) encrypted bit ciphertexts."""
+        a, b = self._coerce(other)
+        ct_in = jnp.concatenate([a._cmp_bits(), b._cmp_bits()], axis=-2)
+        out = circuits.evaluate_encrypted(
+            circuits.comparator(a.width), a.ctx, ct_in)
+        return out[..., 0, :], out[..., 1, :], out[..., 2, :]
+
+    def lt(self, other):
+        return self._compare(other)[0]
+
+    def eq(self, other):
+        return self._compare(other)[1]
+
+    def gt(self, other):
+        return self._compare(other)[2]
+
+    def ne(self, other):
+        return tlwe.neg(self.eq(other))
+
+    def le(self, other):
+        return tlwe.neg(self.gt(other))
+
+    def ge(self, other):
+        return tlwe.neg(self.lt(other))
+
+    # -------------------------- selection ----------------------------- #
+    def select(self, cond, other) -> "FheUint":
+        """cond ? self : other, cond an encrypted bit ``(..., n+1)``."""
+        a, b = self._coerce(other)
+        return a._like(_select_bits(a.ctx, cond, a.bits, b.bits))
+
+    def min_(self, other):
+        a, b = self._coerce(other)
+        return a.select(a.lt(b), b)
+
+    def max_(self, other):
+        a, b = self._coerce(other)
+        return a.select(a.gt(b), b)
+
+    def abs_(self):
+        if not self.SIGNED:
+            return self
+        # sign plane IS an encrypted is-negative bit.
+        return (-self).select(self.bits[..., -1, :], self)
+
+
+class FheInt(FheUint):
+    """Encrypted signed integer (two's complement, ``width`` bits).
+
+    Wrapping add/sub/mul and the bitwise/shift/select ops are inherited
+    bit-identically; comparisons order by flipped sign plane and ``>>`` is
+    arithmetic.  ``divmod`` stays unsigned-only (use ``abs_`` + ``select``
+    to build signed division if needed).
+    """
+
+    SIGNED = True
+
+    @staticmethod
+    def _to_bits(values, width: int):
+        v = np.asarray(values)
+        if np.issubdtype(v.dtype, np.signedinteger):
+            v = v.astype(np.int64) & np.int64((1 << width) - 1)
+        return FheUint._to_bits(v, width)
