@@ -87,6 +87,31 @@ def main():
     dec = np.asarray(ctx.decrypt_int(out, space))
     assert np.array_equal(dec, np.asarray(g)[np.asarray(f)[np.asarray(xs)]])
     print(f"# chained g(f(x)): {B} correct through two bootstraps")
+
+    # 4. multi-output PBS (PBSmanyLUT): t tables, ONE blind rotation.
+    # space*t fixes the sub-slot resolution; at the default set t=2 at
+    # space=2 is noise-sound (check_pbs_many).
+    t_many = 2
+    space_m = 2
+    ok, msg = pbs.check_pbs_many(p, space_m, t_many, min_sigmas=4.0)
+    print(f"# noise budget: {msg}" + ("" if ok else "  [UNSOUND — skipping]"))
+    if ok:
+        xs_m = jnp.asarray(rng.integers(0, space_m, size=(B,)), U32)
+        ct_m = ctx.encrypt_int(xs_m, space_m)
+        tabs = jnp.asarray(rng.integers(0, space_m, size=(t_many, space_m)),
+                           U32)
+        out = jax.block_until_ready(ctx.apply_luts(ct_m, tabs, space_m))
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(ctx.apply_luts(ct_m, tabs, space_m))
+        dt = time.perf_counter() - t0
+        dec = np.asarray(ctx.decrypt_int(out, space_m))
+        for j in range(t_many):
+            want = np.asarray(tabs[j])[np.asarray(xs_m)]
+            n_ok = int(np.sum(dec[:, j] == want))
+            print(f"# manyLUT table {j}: {n_ok}/{B} correct")
+            assert n_ok == B, f"manyLUT table {j}: {B - n_ok} wrong"
+        print(f"# manyLUT: {t_many}x{B} lookups from {B} rotations, "
+              f"{dt * 1e3:.0f} ms -> {t_many * B / dt:,.0f} lookups/s")
     print("OK")
 
 

@@ -173,3 +173,11 @@ class TFHE:
 
         return _pbs.pbs(self.ck, cts, jnp.asarray(table), space=space,
                         params=self.params, engine_name=self.engine_name)
+
+    def apply_luts(self, cts, tables, space: int):
+        """Multi-output PBS (pbs.pbs_many): ``tables (..., t, space)`` ->
+        ``(..., t, n+1)``, all t lookups from ONE blind rotation."""
+        from . import pbs as _pbs
+
+        return _pbs.pbs_many(self.ck, cts, jnp.asarray(tables), space=space,
+                             params=self.params, engine_name=self.engine_name)

@@ -132,9 +132,17 @@ class FheUint:
 
     def _run(self, cell: circuits.Circuit, *operands: "FheUint"):
         """Evaluate a standard cell on the concatenated bit planes; returns
-        the output planes ``(..., n_out, n+1)``."""
+        the output planes ``(..., n_out, n+1)``.
+
+        If the ctx carries a ``circuit_fixed_width`` attribute, every level
+        is padded to that width so ONE compiled bootstrap program serves
+        all levels of all cells — set it where compiles are expensive (the
+        TPU remote-compile tunnel); it must be >= the widest level used
+        (64 covers every 8-bit cell)."""
         ct_in = jnp.concatenate([o.bits for o in operands], axis=-2)
-        return circuits.evaluate_encrypted(cell, self.ctx, ct_in)
+        fw = getattr(self.ctx, "circuit_fixed_width", None)
+        return circuits.evaluate_encrypted(cell, self.ctx, ct_in,
+                                           fixed_width=fw)
 
     # ------------------------- arithmetic ----------------------------- #
     def add_with_carry(self, other):
@@ -279,7 +287,8 @@ class FheUint:
         a, b = self._coerce(other)
         ct_in = jnp.concatenate([a._cmp_bits(), b._cmp_bits()], axis=-2)
         out = circuits.evaluate_encrypted(
-            circuits.comparator(a.width), a.ctx, ct_in)
+            circuits.comparator(a.width), a.ctx, ct_in,
+            fixed_width=getattr(a.ctx, "circuit_fixed_width", None))
         return out[..., 0, :], out[..., 1, :], out[..., 2, :]
 
     def lt(self, other):

@@ -92,6 +92,9 @@ class GateSession:
             for kind in ("nand", "and", "or", "xor", "not", "mux")
         }
         self._bootstrap_fns: dict = {}
+        # Deterministic per-session encryption key stream (see the
+        # client-side convenience block below).
+        self._enc_key = jax.random.fold_in(key, 0x454E43)
 
     # ------------------------- data plumbing -------------------------- #
     def feed(self, host_local_cts) -> jax.Array:
@@ -186,6 +189,33 @@ class GateSession:
                 ndim=ndim, shard_batch=shard_batch,
             )
         return self._bootstrap_fns[cache_key](self.ck.bk, self.ck.ksk, pre)
+
+    # --------------------- client-side convenience -------------------- #
+    # These make GateSession a drop-in for the TFHE context wherever a
+    # `ctx` is expected (apps/circuits.evaluate_encrypted, ints.FheUint):
+    # every host derives the same deterministic key stream, so single-host
+    # sessions work end-to-end; multi-host production clients encrypt under
+    # their own key material and use feed/fetch instead.
+    def encrypt(self, bits) -> jnp.ndarray:
+        """Encrypt {0,1} bits under the session secret key."""
+        from .. import tlwe as _tlwe
+
+        self._enc_key, k = jax.random.split(self._enc_key)
+        return _tlwe.encrypt_binary(k, self.sk.lv0, jnp.asarray(bits),
+                                    self.params)
+
+    def trivial(self, bits) -> jnp.ndarray:
+        """Noiseless ciphertexts of constants (AsLogic, tlwe.rs:80-87)."""
+        from .. import tlwe as _tlwe, torus as _torus
+
+        return _tlwe.trivial(_torus.binary_to_torus(jnp.asarray(bits)),
+                             self.params.n)
+
+    def decrypt(self, cts) -> jnp.ndarray:
+        """Decrypt a (fully addressable) ciphertext batch."""
+        from .. import tlwe as _tlwe
+
+        return _tlwe.decrypt_binary(jnp.asarray(cts), self.sk.lv0)
 
     def decrypt_local(self, global_out) -> np.ndarray:
         """Decrypt this host's shard (test/debug convenience)."""

@@ -130,6 +130,104 @@ def pbs(ck: CloudKey, ct, table, *, space: int, params: TFHEParams,
     return identity_key_switch(lv1, ck.ksk, params, engine)
 
 
+def many_lut_testvec(tables, space: int, params: TFHEParams) -> jnp.ndarray:
+    """Tables (..., t, space) -> interleaved staircase TRLWE (..., 2, N).
+
+    Coefficient ``c = t*k + j`` holds ``encode(tables[j][bucket(t*k)])``:
+    when the blind-rotation index is a multiple of t (``pbs_many``'s
+    coarsened modulus switch guarantees it), extracting coefficient j
+    yields table j's lookup — t lookups from ONE rotation (the PBSmanyLUT
+    construction of Chillotti-Ligier-Orfila-Tap 2021)."""
+    tables = jnp.asarray(tables)
+    t = tables.shape[-2]
+    _check_many(space, t, params)
+    vals = encode_int(tables, space)  # (..., t, space)
+    reps = params.N // (space * t)
+    vt = jnp.moveaxis(vals, -2, -1)  # (..., space, t)
+    lead = vt.shape[:-2]
+    v = jnp.broadcast_to(
+        vt[..., :, None, :], lead + (space, reps, t)
+    ).reshape(lead + (params.N,))
+    return trlwe.trivial(v)
+
+
+def _check_many(space: int, t: int, params: TFHEParams) -> None:
+    _check_space(space, params)
+    if t < 1 or t & (t - 1):
+        raise ValueError(f"t must be a power of two >= 1, got {t}")
+    if space * t > params.N:
+        raise ValueError(
+            f"space*t ({space * t}) cannot exceed N ({params.N}): each of the "
+            f"t sub-slots needs >= 1 coefficient per bucket"
+        )
+
+
+@partial(jax.jit, static_argnames=("space", "params", "engine_name"))
+def pbs_many(ck: CloudKey, ct, tables, *, space: int, params: TFHEParams,
+             engine_name: str = "matmul") -> jnp.ndarray:
+    """Multi-output PBS: t lookup tables on the same x for the price of ONE
+    blind rotation (PBSmanyLUT).
+
+    ``ct (..., n+1)`` encrypting x in [0, space); ``tables (..., t, space)``
+    (t a power of two, leading axes broadcastable against the batch).
+    Returns ``(..., t, n+1)``: row j encrypts ``tables[j][x]``, in the same
+    space (chainable).
+
+    How: the modulus switch is coarsened to multiples of t — every
+    ciphertext word is pre-rounded to a multiple of 2^(32-nbit-1+log2 t),
+    so the rotation index is always ≡ 0 (mod t) — and the test vector
+    interleaves the t tables (``many_lut_testvec``); extracting
+    coefficients 0..t-1 of the one rotated accumulator yields all t
+    lookups.  Cost vs a single PBS: t-1 extra (cheap) sample extractions
+    and a t-row key-switch batch; the 635-step rotation is NOT repeated.
+    Noise: the modulus-switch drift variance grows by t^2
+    (``check_pbs_many`` vets a (space, t) pair analytically with the
+    measured calibration).
+    """
+    tables = jnp.asarray(tables)
+    t = tables.shape[-2]
+    _check_many(space, t, params)
+    engine = resolve_engine(engine_name)
+    shift = 32 - params.nbit - 1
+    pre = jnp.asarray(ct, U32).at[..., 0].add(U32((1 << 32) // (4 * space)))
+    tau = t.bit_length() - 1
+    if tau:
+        # Coarse modulus switch: round every word to the 2^(shift+tau) grid
+        # (wrapping), so b~ and every a~_i — and hence their signed sum mod
+        # 2N — are multiples of t.  blind_rotate's own floor/round then
+        # passes the grid through exactly.
+        half = U32(1 << (shift + tau - 1))
+        mask = U32(((1 << 32) - 1) ^ ((1 << (shift + tau)) - 1))
+        pre = ((pre + half) & mask).astype(U32)
+    testvec = many_lut_testvec(tables, space, params)
+    rotated = blind_rotate(pre, ck.bk, testvec, params, engine)
+    lv1 = jnp.stack(
+        [trlwe.sample_extract(rotated, j) for j in range(t)], axis=-2
+    )  # (..., t, N+1)
+    return identity_key_switch(lv1, ck.ksk, params, engine)
+
+
+def check_pbs_many(params: TFHEParams, space: int, t: int,
+                   min_sigmas: float = 5.0) -> tuple[bool, str]:
+    """Noise-budget verdict for ``pbs_many`` at (space, t).
+
+    Same calibrated model as ``check_pbs_space`` with the modulus-switch
+    drift variance scaled by t^2 (the only term the coarsened switch
+    changes)."""
+    import math
+
+    from .utils.noise import DEFAULT_SIGMA_INFLATION, noise_budget
+
+    _check_many(space, t, params)
+    nb = noise_budget(params)
+    var = (nb.sigma_total**2) + (t * t - 1) * nb.var_rounding
+    sigma = math.sqrt(var) * DEFAULT_SIGMA_INFLATION
+    margin = (1.0 / (4.0 * space)) / sigma
+    msg = (f"space={space}, t={t}: margin {margin:.1f} sigma "
+           f"(calibrated sigma={sigma:.2e})")
+    return margin >= min_sigmas, msg
+
+
 def check_pbs_space(params: TFHEParams, space: int,
                     min_sigmas: float = 5.0) -> tuple[bool, str]:
     """Noise-budget verdict for PBS at ``space`` on bootstrapped inputs.

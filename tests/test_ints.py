@@ -144,3 +144,21 @@ def test_multidim_batch(ctx):
     y = ctx.encrypt_uint(vals[::-1], W)
     np.testing.assert_array_equal((x + y).decrypt(),
                                   (vals + vals[::-1]) & MASK)
+
+
+def test_fheuint_mesh_sharded():
+    """FheUint composes with the sharded evaluation path unchanged: a
+    GateSession is a drop-in ctx, so every integer op runs its circuit
+    levels data-sharded over the 8-virtual-device mesh."""
+    from rustfhe_tpu.ints import FheUint
+    from rustfhe_tpu.parallel.multihost import GateSession
+
+    sess = GateSession(jax.random.PRNGKey(5), TEST_PARAMS, "matmul", model=2)
+    rs = np.random.RandomState(11)
+    av = rs.randint(0, 8, size=16).astype(np.uint64)
+    bv = rs.randint(0, 8, size=16).astype(np.uint64)
+    a = FheUint.encrypt(sess, av, 3)
+    b = FheUint.encrypt(sess, bv, 3)
+    np.testing.assert_array_equal((a + b).decrypt(), (av + bv) & 7)
+    np.testing.assert_array_equal((a ^ b).decrypt(), av ^ bv)
+    np.testing.assert_array_equal(a.min_(b).decrypt(), np.minimum(av, bv))

@@ -168,3 +168,67 @@ def test_check_pbs_space_defaults():
                          * DEFAULT_SIGMA_INFLATION)
     assert 2.5 < m8 < 3.3, m8
     assert f"{m8:.1f}" in msg8
+
+
+# ------------------------- multi-output PBS ---------------------------- #
+def test_pbs_many_lut(setup):
+    """t lookup tables, one blind rotation (pbs_many): every output row j
+    decodes to tables[j][x]."""
+    p, sk, ck, ke = setup
+    space, t = 2, 4  # N=64 -> 8 coefficients per (bucket, sub-slot)
+    rs = np.random.RandomState(17)
+    xs = rs.randint(0, space, size=12)
+    tables = rs.randint(0, space, size=(t, space))
+    ct = pbs.encrypt_int(jax.random.fold_in(ke, 31), sk.lv0,
+                         jnp.asarray(xs), space, p)
+    out = pbs.pbs_many(ck, ct, jnp.asarray(tables), space=space, params=p,
+                       engine_name="matmul")
+    assert out.shape == (12, t, p.n + 1)
+    dec = np.asarray(pbs.decrypt_int(out, sk.lv0, space))
+    for j in range(t):
+        np.testing.assert_array_equal(dec[:, j], tables[j][xs])
+
+
+def test_pbs_many_t1_matches_pbs(setup):
+    """t=1 is a plain PBS (no coarsening): bit-identical to pbs()."""
+    p, sk, ck, ke = setup
+    space = 4
+    xs = jnp.arange(space, dtype=U32)
+    table = jnp.asarray([3, 0, 2, 1])
+    ct = pbs.encrypt_int(jax.random.fold_in(ke, 32), sk.lv0, xs, space, p)
+    one = pbs.pbs(ck, ct, table, space=space, params=p, engine_name="matmul")
+    many = pbs.pbs_many(ck, ct, table[None, :], space=space, params=p,
+                        engine_name="matmul")
+    assert np.array_equal(np.asarray(many[:, 0]), np.asarray(one))
+
+
+def test_pbs_many_per_row_tables(setup):
+    """Leading table axes broadcast against the batch: a different t-tuple
+    of functions per batch row."""
+    p, sk, ck, ke = setup
+    space, t, B = 2, 2, 6
+    rs = np.random.RandomState(23)
+    xs = rs.randint(0, space, size=B)
+    tables = rs.randint(0, space, size=(B, t, space))
+    ct = pbs.encrypt_int(jax.random.fold_in(ke, 33), sk.lv0,
+                         jnp.asarray(xs), space, p)
+    out = pbs.pbs_many(ck, ct, jnp.asarray(tables), space=space, params=p,
+                       engine_name="matmul")
+    dec = np.asarray(pbs.decrypt_int(out, sk.lv0, space))
+    for b in range(B):
+        for j in range(t):
+            assert dec[b, j] == tables[b, j, xs[b]]
+
+
+def test_check_pbs_many():
+    ok2, msg2 = pbs.check_pbs_many(DEFAULT_PARAMS, 2, 2)
+    ok1, msg1 = pbs.check_pbs_many(DEFAULT_PARAMS, 2, 1)
+    # margin shrinks monotonically in t (drift var scales by t^2)
+    m = lambda s: float(s.split("margin ")[1].split(" sigma")[0])
+    assert m(msg1) > m(msg2)
+    assert ok2, msg2  # space=2, t=2 is sound at the default set
+    # t=1 must agree with check_pbs_space's verdict machinery
+    with pytest.raises(ValueError):
+        pbs.check_pbs_many(DEFAULT_PARAMS, 2, 3)  # t not a power of two
+    with pytest.raises(ValueError):
+        pbs.check_pbs_many(TEST_PARAMS, 64, 2)  # space*t > N
