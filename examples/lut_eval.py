@@ -112,6 +112,22 @@ def main():
             assert n_ok == B, f"manyLUT table {j}: {B - n_ok} wrong"
         print(f"# manyLUT: {t_many}x{B} lookups from {B} rotations, "
               f"{dt * 1e3:.0f} ms -> {t_many * B / dt:,.0f} lookups/s")
+
+    # 5. PBS -> bit bridge: decompose a PBS-domain int into gate-encoded
+    # FheUint bit planes (one bootstrap), then run integer-API ops on it.
+    space_b = 4
+    ok, msg = pbs.check_pbs_many(p, space_b, 2, min_sigmas=4.0)
+    print(f"# noise budget: {msg}" + ("" if ok else "  [UNSOUND — skipping]"))
+    if ok:
+        xs_b = jnp.asarray(rng.integers(0, space_b, size=(B,)), U32)
+        ct_b = ctx.encrypt_int(xs_b, space_b)
+        u = ctx.int_to_uint(ct_b, space_b)
+        got = np.asarray(u.decrypt())
+        n_ok = int(np.sum(got == np.asarray(xs_b)))
+        print(f"# int_to_uint: {n_ok}/{B} bit decompositions correct "
+              f"(margin is borderline at space=4 x t=2 — also a noise "
+              f"measurement)")
+        assert n_ok >= int(0.99 * B), f"bridge: {B - n_ok} wrong (> 1%)"
     print("OK")
 
 

@@ -148,6 +148,13 @@ class TFHE:
 
         return FheInt.trivial(self, values, width)
 
+    def int_to_uint(self, cts, space: int):
+        """PBS-domain encrypted int -> FheUint bit planes, one bootstrap
+        total (ints.from_pbs_int: multi-output PBS with raw ±mu tables)."""
+        from .ints import from_pbs_int
+
+        return from_pbs_int(self, cts, space)
+
     # ------------------ programmable bootstrapping -------------------- #
     def encrypt_int(self, x, space: int):
         """Encrypt ints in [0, space) (padding-bit encoding; pbs.py)."""

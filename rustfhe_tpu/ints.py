@@ -330,6 +330,33 @@ class FheUint:
         return (-self).select(self.bits[..., -1, :], self)
 
 
+def from_pbs_int(ctx, ct, space: int) -> FheUint:
+    """Bridge a PBS-domain encrypted integer into the bit world: decompose
+    ``ct`` (padding-bit encoding of x in [0, space), see pbs.py) into a
+    ``FheUint`` of width log2(space) — ALL bit planes from ONE blind
+    rotation (multi-output PBS with raw gate-encoded ±mu tables).
+
+    The result's bits are fresh gate-encoded ciphertexts, so the full
+    integer/circuit API composes on them; cost = one bootstrap total.
+    """
+    from . import pbs as _pbs
+
+    w = space.bit_length() - 1
+    assert space == 1 << w, f"space must be a power of two, got {space}"
+    t = 1 << max(0, (w - 1)).bit_length() if w > 1 else 1  # pad to pow2
+    mu = ctx.params.mu
+    neg_mu = (-mu) & 0xFFFFFFFF
+    tabs = np.array(
+        [[(mu if (x >> j) & 1 else neg_mu) for x in range(space)]
+         for j in range(w)]
+        + [[0] * space] * (t - w),
+        np.uint32,
+    )
+    out = _pbs.pbs_many(ctx.ck, ct, jnp.asarray(tabs), space=space, raw=True,
+                        params=ctx.params, engine_name=ctx.engine_name)
+    return FheUint(ctx, out[..., :w, :])
+
+
 class FheInt(FheUint):
     """Encrypted signed integer (two's complement, ``width`` bits).
 

@@ -92,24 +92,29 @@ def decrypt_int(ct, s, space: int) -> jnp.ndarray:
     return decode_int(tlwe.phase(ct, s), space)
 
 
-def lut_testvec(table, space: int, params: TFHEParams) -> jnp.ndarray:
+def lut_testvec(table, space: int, params: TFHEParams,
+                raw: bool = False) -> jnp.ndarray:
     """Table (..., space) of ints -> staircase trivial TRLWE (..., 2, N).
 
     Coefficient j of the test polynomial holds encode(table[j * space / N]):
     N/space repeated coefficients per bucket, so every phase inside bucket
-    x's (centered) window extracts to the same value."""
+    x's (centered) window extracts to the same value.
+
+    ``raw=True``: table entries are RAW torus uint32 values emitted as-is
+    (arbitrary output encoding — e.g. the gates' +-mu binary encoding), not
+    ints passed through ``encode_int``."""
     _check_space(space, params)
     table = jnp.asarray(table)
     if table.shape[-1] != space:
         raise ValueError(f"table last axis must be space={space}, got {table.shape}")
-    vals = encode_int(table, space)  # (..., space)
+    vals = table.astype(U32) if raw else encode_int(table, space)  # (..., space)
     v = jnp.repeat(vals, params.N // space, axis=-1)  # (..., N)
     return trlwe.trivial(v)
 
 
-@partial(jax.jit, static_argnames=("space", "params", "engine_name"))
+@partial(jax.jit, static_argnames=("space", "params", "engine_name", "raw"))
 def pbs(ck: CloudKey, ct, table, *, space: int, params: TFHEParams,
-        engine_name: str = "matmul") -> jnp.ndarray:
+        engine_name: str = "matmul", raw: bool = False) -> jnp.ndarray:
     """Programmable bootstrap: lv0 TLWE of x -> lv0 TLWE of table[x].
 
     ``ct (..., n+1)`` uint32 encrypting x in [0, space) under the padding-bit
@@ -124,13 +129,14 @@ def pbs(ck: CloudKey, ct, table, *, space: int, params: TFHEParams,
     engine = resolve_engine(engine_name)
     # Half-bucket pre-offset centers each bucket's phase window (module doc).
     pre = jnp.asarray(ct, U32).at[..., 0].add(U32((1 << 32) // (4 * space)))
-    testvec = lut_testvec(table, space, params)
+    testvec = lut_testvec(table, space, params, raw=raw)
     rotated = blind_rotate(pre, ck.bk, testvec, params, engine)
     lv1 = trlwe.sample_extract(rotated, 0)
     return identity_key_switch(lv1, ck.ksk, params, engine)
 
 
-def many_lut_testvec(tables, space: int, params: TFHEParams) -> jnp.ndarray:
+def many_lut_testvec(tables, space: int, params: TFHEParams,
+                     raw: bool = False) -> jnp.ndarray:
     """Tables (..., t, space) -> interleaved staircase TRLWE (..., 2, N).
 
     Coefficient ``c = t*k + j`` holds ``encode(tables[j][bucket(t*k)])``:
@@ -141,7 +147,8 @@ def many_lut_testvec(tables, space: int, params: TFHEParams) -> jnp.ndarray:
     tables = jnp.asarray(tables)
     t = tables.shape[-2]
     _check_many(space, t, params)
-    vals = encode_int(tables, space)  # (..., t, space)
+    vals = (tables.astype(U32) if raw
+            else encode_int(tables, space))  # (..., t, space)
     reps = params.N // (space * t)
     vt = jnp.moveaxis(vals, -2, -1)  # (..., space, t)
     lead = vt.shape[:-2]
@@ -162,9 +169,9 @@ def _check_many(space: int, t: int, params: TFHEParams) -> None:
         )
 
 
-@partial(jax.jit, static_argnames=("space", "params", "engine_name"))
+@partial(jax.jit, static_argnames=("space", "params", "engine_name", "raw"))
 def pbs_many(ck: CloudKey, ct, tables, *, space: int, params: TFHEParams,
-             engine_name: str = "matmul") -> jnp.ndarray:
+             engine_name: str = "matmul", raw: bool = False) -> jnp.ndarray:
     """Multi-output PBS: t lookup tables on the same x for the price of ONE
     blind rotation (PBSmanyLUT).
 
@@ -199,7 +206,7 @@ def pbs_many(ck: CloudKey, ct, tables, *, space: int, params: TFHEParams,
         half = U32(1 << (shift + tau - 1))
         mask = U32(((1 << 32) - 1) ^ ((1 << (shift + tau)) - 1))
         pre = ((pre + half) & mask).astype(U32)
-    testvec = many_lut_testvec(tables, space, params)
+    testvec = many_lut_testvec(tables, space, params, raw=raw)
     rotated = blind_rotate(pre, ck.bk, testvec, params, engine)
     lv1 = jnp.stack(
         [trlwe.sample_extract(rotated, j) for j in range(t)], axis=-2

@@ -232,3 +232,35 @@ def test_check_pbs_many():
         pbs.check_pbs_many(DEFAULT_PARAMS, 2, 3)  # t not a power of two
     with pytest.raises(ValueError):
         pbs.check_pbs_many(TEST_PARAMS, 64, 2)  # space*t > N
+
+
+def test_pbs_raw_matches_encoded(setup):
+    """raw=True with pre-encoded torus values is bit-identical to the
+    integer-table path."""
+    p, sk, ck, ke = setup
+    space = 4
+    xs = jnp.arange(space, dtype=U32)
+    table = jnp.asarray([2, 0, 3, 1])
+    ct = pbs.encrypt_int(jax.random.fold_in(ke, 41), sk.lv0, xs, space, p)
+    enc = pbs.pbs(ck, ct, table, space=space, params=p, engine_name="matmul")
+    raw = pbs.pbs(ck, ct, pbs.encode_int(table, space), space=space, params=p,
+                  engine_name="matmul", raw=True)
+    assert np.array_equal(np.asarray(enc), np.asarray(raw))
+
+
+def test_from_pbs_int_bridge(setup):
+    """PBS-domain int -> FheUint bit planes in ONE bootstrap, composable
+    with the integer API."""
+    p, sk, ck, ke = setup
+    from rustfhe_tpu.context import TFHE
+
+    ctx = TFHE(sk, ck, p, "matmul")
+    space = 4
+    xs = np.array([0, 1, 2, 3, 3, 1], np.uint32)
+    ct = pbs.encrypt_int(jax.random.fold_in(ke, 42), sk.lv0,
+                         jnp.asarray(xs), space, p)
+    u = ctx.int_to_uint(ct, space)
+    assert u.width == 2
+    np.testing.assert_array_equal(u.decrypt(), xs)
+    # bits are valid gate-encoded ciphertexts: integer ops compose
+    np.testing.assert_array_equal((u + 1).decrypt(), (xs + 1) & 3)
