@@ -6,6 +6,7 @@ from .sharded import (
     shard_cloud_key,
     shard_cloud_key_tp,
     sharded_bootstrap_fn,
+    sharded_pbs_fn,
     sharded_gate_fn,
     tp_gate_fn,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "sharded_bootstrap_fn",
+    "sharded_pbs_fn",
     "sharded_gate_fn",
     "shard_cloud_key",
     "shard_cloud_key_tp",

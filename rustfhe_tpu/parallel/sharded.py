@@ -201,6 +201,34 @@ def sharded_bootstrap_fn(mesh: Mesh, params: TFHEParams, engine_name="matmul",
     )
 
 
+def sharded_pbs_fn(mesh: Mesh, params: TFHEParams, engine_name="matmul", *,
+                   space: int, raw: bool = False):
+    """Jitted, mesh-sharded (multi-output) programmable bootstrap.
+
+    Returns ``(bk, ksk, ct, tables) -> (..., t, n+1)``: the ciphertext
+    batch is sharded over ``data`` (axis 0), ``tables (t, space)`` is
+    replicated (one t-tuple of functions for the whole batch), the key
+    switch is the model-psum path — the PBS analogue of
+    ``sharded_bootstrap_fn``, built on the same rotation core as the
+    unsharded ``pbs.pbs_many`` so the two cannot drift."""
+    from ..pbs import rotate_extract_many
+
+    engine = resolve_engine(engine_name)
+
+    def run(bk, ksk_local, ct_local, tables):
+        lv1 = rotate_extract_many(bk, ct_local, tables, space, params,
+                                  engine, raw=raw)
+        return _key_switch_local(lv1, ksk_local, params, engine, "model")
+
+    return jax.jit(
+        jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(P(), P("model"), P("data"), P()),
+            out_specs=P("data"),
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 # Tensor-parallel blind rotate: BK row-sharded, psum INSIDE the hot loop
 # --------------------------------------------------------------------- #

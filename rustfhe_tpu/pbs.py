@@ -169,6 +169,34 @@ def _check_many(space: int, t: int, params: TFHEParams) -> None:
         )
 
 
+def rotate_extract_many(bk, ct, tables, space: int, params: TFHEParams,
+                        engine, raw: bool = False) -> jnp.ndarray:
+    """The rotation half of ``pbs_many`` WITHOUT the key switch: coarsened
+    modulus switch + interleaved-staircase blind rotation + t sample
+    extractions -> lv1 TLWE batch (..., t, N+1).  Callers pick the switch:
+    ``identity_key_switch`` here; the model-psum'd local switch in
+    ``parallel.sharded.sharded_pbs_fn``."""
+    tables = jnp.asarray(tables)
+    t = tables.shape[-2]
+    _check_many(space, t, params)
+    shift = 32 - params.nbit - 1
+    pre = jnp.asarray(ct, U32).at[..., 0].add(U32((1 << 32) // (4 * space)))
+    tau = t.bit_length() - 1
+    if tau:
+        # Coarse modulus switch: round every word to the 2^(shift+tau) grid
+        # (wrapping), so b~ and every a~_i — and hence their signed sum mod
+        # 2N — are multiples of t.  blind_rotate's own floor/round then
+        # passes the grid through exactly.
+        half = U32(1 << (shift + tau - 1))
+        mask = U32(((1 << 32) - 1) ^ ((1 << (shift + tau)) - 1))
+        pre = ((pre + half) & mask).astype(U32)
+    testvec = many_lut_testvec(tables, space, params, raw=raw)
+    rotated = blind_rotate(pre, bk, testvec, params, engine)
+    return jnp.stack(
+        [trlwe.sample_extract(rotated, j) for j in range(t)], axis=-2
+    )  # (..., t, N+1)
+
+
 @partial(jax.jit, static_argnames=("space", "params", "engine_name", "raw"))
 def pbs_many(ck: CloudKey, ct, tables, *, space: int, params: TFHEParams,
              engine_name: str = "matmul", raw: bool = False) -> jnp.ndarray:
@@ -191,26 +219,9 @@ def pbs_many(ck: CloudKey, ct, tables, *, space: int, params: TFHEParams,
     (``check_pbs_many`` vets a (space, t) pair analytically with the
     measured calibration).
     """
-    tables = jnp.asarray(tables)
-    t = tables.shape[-2]
-    _check_many(space, t, params)
     engine = resolve_engine(engine_name)
-    shift = 32 - params.nbit - 1
-    pre = jnp.asarray(ct, U32).at[..., 0].add(U32((1 << 32) // (4 * space)))
-    tau = t.bit_length() - 1
-    if tau:
-        # Coarse modulus switch: round every word to the 2^(shift+tau) grid
-        # (wrapping), so b~ and every a~_i — and hence their signed sum mod
-        # 2N — are multiples of t.  blind_rotate's own floor/round then
-        # passes the grid through exactly.
-        half = U32(1 << (shift + tau - 1))
-        mask = U32(((1 << 32) - 1) ^ ((1 << (shift + tau)) - 1))
-        pre = ((pre + half) & mask).astype(U32)
-    testvec = many_lut_testvec(tables, space, params, raw=raw)
-    rotated = blind_rotate(pre, ck.bk, testvec, params, engine)
-    lv1 = jnp.stack(
-        [trlwe.sample_extract(rotated, j) for j in range(t)], axis=-2
-    )  # (..., t, N+1)
+    lv1 = rotate_extract_many(ck.bk, ct, tables, space, params, engine,
+                              raw=raw)
     return identity_key_switch(lv1, ck.ksk, params, engine)
 
 

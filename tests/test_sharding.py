@@ -267,3 +267,28 @@ def test_sharded_circuit_unbatched_small_levels(setup):
     out = evaluate_encrypted(c, sess, cts)  # (1, n+1)
     dec = np.asarray(tlwe.decrypt_binary(out, sess.sk.lv0))
     assert np.array_equal(dec, evaluate_plain(c, bits))
+
+
+def test_sharded_pbs_bit_exact(setup):
+    """sharded_pbs_fn (data-sharded multi-output PBS, model-psum key
+    switch) agrees BIT-FOR-BIT with the unsharded pbs_many."""
+    from rustfhe_tpu import pbs
+    from rustfhe_tpu.parallel import make_mesh, shard_cloud_key, sharded_pbs_fn
+
+    p, sk, ck, *_ = setup
+    space, t, B = 2, 2, 16
+    rs = np.random.RandomState(9)
+    xs = rs.randint(0, space, size=B)
+    tables = jnp.asarray(rs.randint(0, space, size=(t, space)), U32)
+    ct = pbs.encrypt_int(jax.random.PRNGKey(21), sk.lv0,
+                         jnp.asarray(xs), space, p)
+    ref = pbs.pbs_many(ck, ct, tables, space=space, params=p,
+                       engine_name="matmul")
+    mesh = make_mesh(data=4, model=2)
+    ck_sh = shard_cloud_key(ck, mesh)
+    fn = sharded_pbs_fn(mesh, p, "matmul", space=space)
+    out = fn(ck_sh.bk, ck_sh.ksk, ct, tables)
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
+    dec = np.asarray(pbs.decrypt_int(out, sk.lv0, space))
+    for j in range(t):
+        np.testing.assert_array_equal(dec[:, j], np.asarray(tables)[j][xs])
