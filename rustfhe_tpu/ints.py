@@ -272,6 +272,17 @@ class FheUint:
         return self._like(jnp.concatenate(
             [self.bits[..., k:, :], self._ext_planes(k)], axis=-2))
 
+    def rotl(self, k: int) -> "FheUint":
+        """Rotate bits left by a plaintext amount: pure plane cycle, free."""
+        k = int(k) % self.width
+        if k == 0:
+            return self
+        return self._like(jnp.concatenate(
+            [self.bits[..., -k:, :], self.bits[..., :-k, :]], axis=-2))
+
+    def rotr(self, k: int) -> "FheUint":
+        return self.rotl(-int(k) % self.width)
+
     # ------------------------- comparisons ---------------------------- #
     def _cmp_bits(self):
         """Bit planes used for magnitude comparison: unsigned uses the raw
@@ -367,6 +378,26 @@ class FheInt(FheUint):
     """
 
     SIGNED = True
+
+    def divmod(self, other):
+        """Signed TRUNCATED division (C/Rust semantics): quotient rounds
+        toward zero, remainder takes the dividend's sign.
+
+        Built on the unsigned restoring divider over |a|, |b|: the signs
+        are re-applied with encrypted-condition selects (q negated iff the
+        signs differ, r negated iff a < 0).  |INT_MIN| wraps (two's
+        complement), matching ``wrapping_div``."""
+        a, b = self._coerce(other)
+        sa = a.bits[..., -1, :]  # sign planes ARE encrypted is-negative bits
+        sb = b.bits[..., -1, :]
+        ua = FheUint(a.ctx, (-a).select(sa, a).bits)  # |a| (unsigned view)
+        ub = FheUint(b.ctx, (-b).select(sb, b).bits)
+        q_u, r_u = ua.divmod(ub)
+        q_u, r_u = a._like(q_u.bits), a._like(r_u.bits)  # back to signed
+        sdiff = a.ctx.xor(sa, sb)  # one single-bit bootstrap
+        q = (-q_u).select(sdiff, q_u)
+        r = (-r_u).select(sa, r_u)
+        return q, r
 
     @staticmethod
     def _to_bits(values, width: int):

@@ -162,3 +162,29 @@ def test_fheuint_mesh_sharded():
     np.testing.assert_array_equal((a + b).decrypt(), (av + bv) & 7)
     np.testing.assert_array_equal((a ^ b).decrypt(), av ^ bv)
     np.testing.assert_array_equal(a.min_(b).decrypt(), np.minimum(av, bv))
+
+
+def test_rotations(ctx):
+    x = ctx.encrypt_uint(A_VALS, W)
+    rotl = lambda v, k: ((v << np.uint64(k)) | (v >> np.uint64(W - k))) & MASK
+    np.testing.assert_array_equal(x.rotl(1).decrypt(), rotl(A_VALS, 1))
+    np.testing.assert_array_equal(x.rotr(3).decrypt(), rotl(A_VALS, 1))
+    np.testing.assert_array_equal(x.rotl(0).decrypt(), A_VALS)
+    np.testing.assert_array_equal(x.rotl(W + 2).decrypt(), rotl(A_VALS, 2))
+
+
+def test_signed_divmod(ctx):
+    """Truncated signed division (C/Rust): q toward zero, r follows a;
+    div-by-zero: q = -sign(a) interpretation (-1 / +1), r = a."""
+    av = np.array([7, -7, 7, -7, -8, 5], np.int64)
+    bv = np.array([2, 2, -2, -2, 3, 0], np.int64)
+    a = ctx.encrypt_sint(av, W)
+    b = ctx.encrypt_sint(bv, W)
+    q, r = a.divmod(b)
+    safe = np.where(bv == 0, 1, bv)
+    eq = np.fix(av / safe).astype(np.int64)
+    er = av - eq * safe
+    eq = np.where(bv == 0, np.where(av < 0, 1, -1), eq)
+    er = np.where(bv == 0, av, er)
+    np.testing.assert_array_equal(q.decrypt(), eq)
+    np.testing.assert_array_equal(r.decrypt(), er)
