@@ -121,7 +121,9 @@ def main():
     if ok:
         xs_b = jnp.asarray(rng.integers(0, space_b, size=(B,)), U32)
         ct_b = ctx.encrypt_int(xs_b, space_b)
-        u = ctx.int_to_uint(ct_b, space_b)
+        # unsafe=True: this section IS the borderline-margin device
+        # measurement (4.2 predicted sigma < the 5-sigma API gate).
+        u = ctx.int_to_uint(ct_b, space_b, unsafe=True)
         got = np.asarray(u.decrypt())
         n_ok = int(np.sum(got == np.asarray(xs_b)))
         print(f"# int_to_uint: {n_ok}/{B} bit decompositions correct "

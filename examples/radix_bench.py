@@ -1,0 +1,132 @@
+"""Device validation + cost measurement of the PBS preset and radix integers.
+
+Three sections (VERDICT r3 items 2 + 3):
+  1. PBS_PARAMS soundness on hardware: space=8 programmable bootstrapping
+     at a large batch — expect ZERO decode errors (the preset's calibrated
+     margin is 9.7 sigma; the gate-preset validation methodology).
+  2. Radix 8-bit add on device: correctness at production parameters and
+     the headline cost metric — bootstrap LEVELS and total PBS lookups per
+     8-bit add (radix: 4 levels / 8 lookups; bit-circuit: 15 levels / ~38
+     gate bootstraps) — with measured wall times for both paths.
+  3. pbs_many(space=8, t=2) at batch: the borderline-variant measurement
+     (calibrated 4.9 sigma — prediction: ~1e-6/lookup, usually clean).
+
+Usage:
+  RUSTFHE_ENGINE=pallas_k2 BATCH=256 PBS_BATCH=65536 \
+      python examples/radix_bench.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rustfhe_tpu import pbs, radix
+from rustfhe_tpu.context import TFHE
+from rustfhe_tpu.params import PBS_PARAMS
+from rustfhe_tpu.radix import RadixUint
+
+U32 = jnp.uint32
+
+
+def main():
+    p = PBS_PARAMS
+    B = int(os.environ.get("BATCH", "256"))
+    BP = int(os.environ.get("PBS_BATCH", "65536"))
+    print(f"# device: {jax.devices()[0].platform} "
+          f"{getattr(jax.devices()[0], 'device_kind', '?')}", flush=True)
+    ok, msg = pbs.check_pbs_space(p, 8)
+    print(f"# preset check: {msg} -> ok={ok}", flush=True)
+    assert ok, "PBS_PARAMS must pass space=8 at the 5-sigma bar"
+    ok_r, msg_r = radix.check_radix(p)
+    print(f"# {msg_r} -> ok={ok_r}", flush=True)
+    assert ok_r
+
+    t0 = time.perf_counter()
+    ctx = TFHE.new(jax.random.PRNGKey(11), p,
+                   os.environ.get("RUSTFHE_ENGINE") or None)
+    print(f"# keygen {time.perf_counter() - t0:.1f}s "
+          f"(engine {ctx.engine_name})", flush=True)
+    rng = np.random.default_rng(5)
+
+    # ---- 1. space=8 PBS at large batch: zero-error device validation.
+    space = 8
+    xs = rng.integers(0, space, size=BP)
+    table = jnp.asarray(rng.integers(0, space, size=(space,)), U32)
+    ct = ctx.encrypt_int(jnp.asarray(xs, U32), space)
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(ctx.apply_lut(ct, table, space))
+    dt_c = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(ctx.apply_lut(out, table, space))
+    dt = time.perf_counter() - t0  # chained second run: no compile, no cache
+    dec = np.asarray(ctx.decrypt_int(out, space))
+    want = np.asarray(table)[np.asarray(table)[xs]]  # chained g(g(x))
+    n_ok = int((dec == want).sum())
+    print(f"pbs space=8 B={BP}: {n_ok}/{BP} correct "
+          f"({BP / dt:,.0f} PBS/s, first-call {dt_c:.1f}s incl compile)",
+          flush=True)
+    assert n_ok == BP, f"{BP - n_ok} decode errors at the PBS preset"
+
+    # ---- 2. radix 8-bit add: correctness + cost vs the bit circuit.
+    nd = 4  # 4 x 2-bit digits = 8 bits
+    av = rng.integers(0, 256, size=B).astype(np.uint64)
+    bv = rng.integers(0, 256, size=B).astype(np.uint64)
+    a = RadixUint.encrypt(ctx, av, nd)
+    b = RadixUint.encrypt(ctx, bv, nd)
+    s, _ = a.add_with_carry(b)  # compile
+    jax.block_until_ready(s.digits)
+    t0 = time.perf_counter()
+    s2, _ = (s + b).add_with_carry(b)  # chained
+    jax.block_until_ready(s2.digits)
+    dt_radix = (time.perf_counter() - t0) / 2
+    got = s.decrypt()
+    n_ok = int((got == ((av + bv) & 0xFF)).sum())
+    print(f"radix add8 B={B}: {n_ok}/{B} correct, {dt_radix * 1e3:.0f} ms "
+          f"per add ({nd} bootstrap levels, {2 * nd} PBS lookups)", flush=True)
+    assert n_ok == B
+
+    # bit-circuit add at the same preset for the wall-time comparison
+    # (17 levels; one compiled bootstrap per level width through the
+    # fixed-width program).
+    ctx.circuit_fixed_width = 16  # widest adder8 level; one program for all
+    ua = ctx.encrypt_uint(av, 8)
+    ub = ctx.encrypt_uint(bv, 8)
+    t0 = time.perf_counter()
+    us = ua + ub  # includes compile of the fixed-width program
+    jax.block_until_ready(us.bits)
+    dt_bits_c = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    us2 = us + ub  # chained
+    jax.block_until_ready(us2.bits)
+    dt_bits = time.perf_counter() - t0
+    n_ok = int((us.decrypt() == ((av + bv) & 0xFF)).sum())
+    print(f"bit-circuit add8 B={B}: {n_ok}/{B} correct, "
+          f"{dt_bits * 1e3:.0f} ms per add (15 levels; first call "
+          f"{dt_bits_c:.1f}s incl compile)", flush=True)
+    assert n_ok == B
+    print(f"=> radix vs bit-circuit: {dt_bits / dt_radix:.2f}x wall-time, "
+          f"bootstrap levels 15 -> {nd}, lookups ~38 -> {2 * nd}", flush=True)
+
+    # ---- 3. the borderline pbs_many(8, 2) variant, measured honestly.
+    ok_m, msg_m = pbs.check_pbs_many(p, 8, 2)
+    print(f"# {msg_m} -> ok={ok_m}", flush=True)
+    tabs = jnp.asarray(rng.integers(0, space, size=(2, space)), U32)
+    ctm = ctx.encrypt_int(jnp.asarray(xs[:B], U32), space)
+    outm = jax.block_until_ready(ctx.apply_luts(ctm, tabs, space))
+    decm = np.asarray(ctx.decrypt_int(outm, space))
+    bad = 0
+    for j in range(2):
+        bad += int((decm[:, j] != np.asarray(tabs)[j][xs[:B]]).sum())
+    print(f"pbs_many(8,2) B={B}: {2 * B - bad}/{2 * B} correct "
+          f"(margin {msg_m.split('margin ')[1]})", flush=True)
+    print("OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

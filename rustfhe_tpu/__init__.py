@@ -8,12 +8,15 @@ exact integer arithmetic mod 2^32, MXU matmul convolution engines, one jit
 region per gate batch, and mesh sharding for scale-out.
 """
 
-from .params import TFHEParams, DEFAULT_PARAMS, TEST_PARAMS, N2048_PARAMS
+from .params import (TFHEParams, DEFAULT_PARAMS, TEST_PARAMS, N2048_PARAMS,
+                     PBS_PARAMS, PBS_TEST_PARAMS)
 from .keys import SecretKey, CloudKey, gen_keys, gen_secret_key, gen_cloud_key
 from .engine import get_engine, register_engine
 from . import torus, tlwe, trlwe, trgsw, decomp, poly, bootstrap, gates, pbs
+from . import radix
 from .context import TFHE
 from .ints import FheUint, FheInt
+from .radix import RadixUint
 
 __version__ = "0.1.0"
 
@@ -22,6 +25,8 @@ __all__ = [
     "DEFAULT_PARAMS",
     "TEST_PARAMS",
     "N2048_PARAMS",
+    "PBS_PARAMS",
+    "PBS_TEST_PARAMS",
     "SecretKey",
     "CloudKey",
     "gen_keys",
@@ -32,6 +37,8 @@ __all__ = [
     "TFHE",
     "FheUint",
     "FheInt",
+    "RadixUint",
+    "radix",
     "torus",
     "tlwe",
     "trlwe",

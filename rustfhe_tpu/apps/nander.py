@@ -269,7 +269,14 @@ def nander_console(params=None, engine_name: str | None = None, stdin=None,
     print(f"keys ready in {time.perf_counter() - t0:.1f}s "
           f"(engine {ctx.engine_name})", file=stdout, flush=True)
 
+    from .replprog import FusedEvaluator
+
     pros = FheLogic(ctx)
+    # Fused path: one device dispatch per bootstrap level (leaves,
+    # pre-combinations and the final decrypt all run inside the jitted
+    # programs — see replprog.py).  Expressions wider than its static
+    # lane/wire capacities fall back to the generic gate-by-gate path.
+    fused = FusedEvaluator(ctx)
     for line in stdin:
         line = line.strip()
         if not line:
@@ -280,8 +287,11 @@ def nander_console(params=None, engine_name: str | None = None, stdin=None,
             print(f"parse error: {e}", file=stdout, flush=True)
             continue
         t0 = time.perf_counter()
-        ct = eval_logic_expr(pros, expr)
-        bit = int(np.asarray(ctx.decrypt(ct)))
+        if fused.fits(expr):
+            bit = fused.eval_bit(expr)
+        else:
+            ct = eval_logic_expr(pros, expr)
+            bit = int(np.asarray(ctx.decrypt(ct)))
         dt = (time.perf_counter() - t0) * 1e6
         print(f"res: {bit}", file=stdout)
         print(f"time: {dt:.0f} us", file=stdout, flush=True)

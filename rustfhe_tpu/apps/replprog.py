@@ -1,0 +1,206 @@
+"""Fused REPL evaluation: one device dispatch per bootstrap level.
+
+The interactive cost model of the plain ``FheLogic`` path is dominated by
+relay round trips, not compute: a single NAND through the console runs
+eager leaf encodes, an eager pre-combination, the jitted bootstrap, an
+eager decrypt and a host pull — each eager phase is a device RTT (~25 ms
+through the remote tunnel; BENCH.md 2026-08-20).  The reference, a local
+CPU library, pays none of that (30.6 ms total, ``tfhe.rs:297``).
+
+This module removes every RTT except the unavoidable dispatch itself:
+
+* an expression (``nander`` AST) lowers to a LEVEL PLAN over a fixed-size
+  wire file — all plan arrays (gather indices, gate coefficient triples,
+  leaf encodings) are computed on the HOST (numpy, zero device work);
+* interior levels run as ONE jitted program (gather operands from the
+  wire file + linear pre-combination + batched bootstrap + scatter back),
+  identical for every expression — compiled once per session;
+* the FINAL gate runs a second fused program that stops at the lv1
+  sample extraction (no key switch — the result is decrypted, not fed to
+  another gate) and performs the decrypt INSIDE the program, returning a
+  single uint32 bit.
+
+A depth-1 expression (the headline single NAND) is therefore exactly one
+device dispatch; a depth-d expression is d dispatches.  Wire-file and
+lane capacities are static (defaults cover interactive expressions; wider
+circuits fall back to the generic evaluator path in ``nander``).
+
+Reference anchor: ``nander/src/main.rs:56-63`` (parse/eval/decrypt loop);
+the lowering mirrors ``apps/circuits.lower``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tlwe
+from ..bootstrap import bootstrap, gate_bootstrapping_tlwe2tlwe
+from ..engine import resolve_engine
+from ..gates import PRE_COEFFS
+from . import nander
+from .circuits import Circuit, lower
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+
+def expr_to_circuit(expr) -> tuple[Circuit, list[int]]:
+    """nander AST -> (Circuit with one leaf input wire per Leaf occurrence,
+    leaf bit values)."""
+    leaves: list[int] = []
+
+    def count(e):
+        match e:
+            case nander.Leaf():
+                leaves.append(0)  # placeholder; filled in walk
+                return 1
+            case nander.Not(lhs=l):
+                return count(l)
+            case nander.Nand(lhs=l, rhs=r) | nander.And(lhs=l, rhs=r) | \
+                    nander.Or(lhs=l, rhs=r) | nander.Xor(lhs=l, rhs=r):
+                return count(l) + count(r)
+        raise TypeError(f"not an expression: {e!r}")
+
+    n_leaves = count(expr)
+    c = Circuit(n_inputs=max(n_leaves, 1))
+    leaves.clear()
+
+    def walk(e) -> int:
+        match e:
+            case nander.Leaf(value=v):
+                leaves.append(int(bool(v)))
+                return len(leaves) - 1
+            case nander.Not(lhs=l):
+                return c.not_(walk(l))
+            case nander.Nand(lhs=l, rhs=r):
+                return c.nand(walk(l), walk(r))
+            case nander.And(lhs=l, rhs=r):
+                return c.and_(walk(l), walk(r))
+            case nander.Or(lhs=l, rhs=r):
+                return c.or_(walk(l), walk(r))
+            case nander.Xor(lhs=l, rhs=r):
+                return c.xor(walk(l), walk(r))
+        raise TypeError(f"not an expression: {e!r}")
+
+    c.outputs = [walk(expr)]
+    return c, leaves
+
+
+class FusedEvaluator:
+    """Two-compiled-program expression evaluator over a TFHE context.
+
+    ``width``: gate lanes per interior level (padded; lanes beyond the
+    level's gates bootstrap a zero pre-combination into a trash wire).
+    ``max_wires``: wire-file size.  ``fits(expr)`` reports whether an
+    expression's plan fits these static capacities."""
+
+    def __init__(self, ctx, width: int = 8, max_wires: int = 64):
+        self.ctx = ctx
+        self.width = width
+        self.max_wires = max_wires
+        p = ctx.params
+        engine = resolve_engine(ctx.engine_name)
+        mu = p.mu
+
+        def level_fn(bk, ksk, wires, ia, ib, iout, coeffs):
+            # wires (MW, n+1); ia/ib/iout (W,) int32; coeffs (W, 3) uint32
+            from ..keys import CloudKey
+
+            xa = wires[ia]
+            xb = wires[ib]
+            pre = (xa * coeffs[:, 0, None] + xb * coeffs[:, 1, None]).astype(U32)
+            pre = pre.at[:, 0].add((coeffs[:, 2] * U32(mu)).astype(U32))
+            out = bootstrap(pre, CloudKey(bk=bk, ksk=ksk), p, engine)
+            return wires.at[iout].set(out)
+
+        def final_fn(bk, sk1, wires, iab, coeff):
+            # iab (2,) int32; coeff (3,) uint32 -> decrypted bit (scalar)
+            xa = wires[iab[0]]
+            xb = wires[iab[1]]
+            pre = (xa * coeff[0] + xb * coeff[1]).astype(U32)
+            pre = pre.at[0].add((coeff[2] * U32(mu)).astype(U32))
+            # No key switch: the output is decrypted at lv1 directly.
+            lv1 = gate_bootstrapping_tlwe2tlwe(pre, bk, p, engine)
+            return tlwe.decrypt_binary(lv1, sk1)
+
+        self._level = jax.jit(level_fn, donate_argnums=(2,))
+        self._final = jax.jit(final_fn)
+
+    # ------------------------------------------------------------------ #
+    def _plan(self, expr):
+        """Lower to per-level host-side plan arrays; None if it doesn't fit."""
+        circ, leaf_bits = expr_to_circuit(expr)
+        if not circ.gates:  # leaf-only expression: no device work at all
+            return ("const", leaf_bits[0] if leaf_bits else 0)
+        ops, in_a, in_b, out_w, n_wires = lower(circ)
+        # +1 trash wire for pad lanes.
+        if n_wires + 1 > self.max_wires:
+            return None
+        level_of = {}
+        for w in range(circ.n_inputs):
+            level_of[w] = 0
+        levels: dict[int, list[int]] = {}
+        for g in range(len(ops)):
+            lv = 1 + max(level_of.get(in_a[g], 0), level_of.get(in_b[g], 0))
+            level_of[out_w[g]] = lv
+            levels.setdefault(lv, []).append(g)
+        depth = max(levels)
+        root = circ.outputs[0]
+        plans = []
+        for lv in range(1, depth):
+            gsel = levels[lv]
+            if len(gsel) > self.width:
+                return None
+            pad = self.width - len(gsel)
+            ia = np.array([in_a[g] for g in gsel] + [0] * pad, np.int32)
+            ib = np.array([in_b[g] for g in gsel] + [0] * pad, np.int32)
+            io = np.array([out_w[g] for g in gsel] + [self.max_wires - 1] * pad,
+                          np.int32)
+            cs = np.array(
+                [PRE_COEFFS[ops[g]] for g in gsel] + [(0, 0, 0)] * pad,
+                np.int64) & 0xFFFFFFFF
+            plans.append((ia, ib, io, cs.astype(np.uint32)))
+        # Final level: the root gate only (same-level non-root gates feed
+        # nothing — dead code an expression can't produce).
+        root_gates = [g for g in levels[depth] if out_w[g] == root]
+        assert len(root_gates) == 1, root_gates
+        g = root_gates[0]
+        fin = (np.array([in_a[g], in_b[g]], np.int32),
+               (np.array(PRE_COEFFS[ops[g]], np.int64)
+                & 0xFFFFFFFF).astype(np.uint32))
+        return ("run", leaf_bits, circ.n_inputs, plans, fin)
+
+    def fits(self, expr) -> bool:
+        return self._plan(expr) is not None
+
+    def eval_bit(self, expr, _nonce=None) -> int:
+        """Evaluate to a decrypted bit: depth device dispatches total.
+
+        ``_nonce``: optional uint32 (n,) written into the trash wire's mask
+        — result-neutral (the trash wire feeds nothing), used by latency
+        probes to defeat the relay's identical-execution cache."""
+        plan = self._plan(expr)
+        if plan is None:
+            raise ValueError("expression exceeds the fused evaluator's "
+                             "static capacities")
+        if plan[0] == "const":
+            return int(plan[1])
+        _, leaf_bits, n_inputs, plans, (iab, coeff) = plan
+        p = self.ctx.params
+        # Host-built wire file: trivial leaf ciphertexts are just constant
+        # bodies (+-1/8) — zero device encode round trips.
+        wires_np = np.zeros((self.max_wires, p.n + 1), np.uint32)
+        for i, bit in enumerate(leaf_bits):
+            wires_np[i, 0] = 0x20000000 if bit else 0xE0000000
+        if _nonce is not None:
+            wires_np[-1, 1:] = np.asarray(_nonce, np.uint32)
+        wires = jnp.asarray(wires_np)
+        ck = self.ctx.ck
+        for ia, ib, io, cs in plans:
+            wires = self._level(ck.bk, ck.ksk, wires, ia, ib, io, cs)
+        bit = self._final(ck.bk, self.ctx.sk.lv1, wires, iab, coeff)
+        return int(jax.block_until_ready(bit))

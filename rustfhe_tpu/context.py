@@ -148,12 +148,27 @@ class TFHE:
 
         return FheInt.trivial(self, values, width)
 
-    def int_to_uint(self, cts, space: int):
+    def int_to_uint(self, cts, space: int, *, unsafe: bool = False):
         """PBS-domain encrypted int -> FheUint bit planes, one bootstrap
-        total (ints.from_pbs_int: multi-output PBS with raw ±mu tables)."""
+        total (ints.from_pbs_int: multi-output PBS with raw ±mu tables).
+        Raises when the calibrated (space, t) noise margin is below
+        threshold unless ``unsafe=True``."""
         from .ints import from_pbs_int
 
-        return from_pbs_int(self, cts, space)
+        return from_pbs_int(self, cts, space, unsafe=unsafe)
+
+    def encrypt_radix(self, values, ndigits: int):
+        """Encrypt unsigned integers in RADIX form (radix.RadixUint: 2-bit
+        PBS digits; adds cost one bootstrap LEVEL per digit instead of the
+        bit-circuit's per-gate-level).  Use params.PBS_PARAMS."""
+        from .radix import RadixUint
+
+        return RadixUint.encrypt(self, values, ndigits)
+
+    def trivial_radix(self, values, ndigits: int):
+        from .radix import RadixUint
+
+        return RadixUint.trivial(self, values, ndigits)
 
     # ------------------ programmable bootstrapping -------------------- #
     def encrypt_int(self, x, space: int):

@@ -178,11 +178,15 @@ def select_fast_engine(params=None) -> str:
     )
     override = os.environ.get("RUSTFHE_ENGINE")
     if override:
-        if engine_exact_on_probe(get_engine(override), params, rows, digits, want):
+        ok, why = engine_probe_result(get_engine(override), params, rows, digits, want)
+        if ok:
             return override
+        # Distinguish "the engine computed WRONG results" from "the engine
+        # failed to run at all" (e.g. a compile failure through a degraded
+        # remote-compile relay) — the one diagnostic that matters here.
         raise RuntimeError(
-            f"RUSTFHE_ENGINE={override!r} is not exact on this backend "
-            f"(failed the oracle probe)"
+            f"RUSTFHE_ENGINE={override!r} failed the oracle probe on this "
+            f"backend: {why}"
         )
     on_cpu = jnp.ones(1).devices().pop().platform == "cpu"
     # Probe order = descending real-scan speed: pallas_k2 measured 6,214.8
@@ -212,8 +216,13 @@ def select_fast_engine(params=None) -> str:
     raise RuntimeError("no engine computes the external product exactly on this backend")
 
 
-def engine_exact_on_probe(engine, params, rows, digits, want) -> bool:
-    """True iff ``engine`` reproduces the oracle on every probe pattern."""
+def engine_probe_result(engine, params, rows, digits, want) -> tuple[bool, str]:
+    """(ok, why): probe verdict with the failure CAUSE preserved.
+
+    ``why`` distinguishes an engine that *ran but was inexact* (wrongness —
+    the thing the invariant guards against) from one that *failed to
+    execute* (typically a compile/runtime error on this backend), with the
+    original exception text attached."""
     import numpy as np
 
     try:
@@ -222,9 +231,26 @@ def engine_exact_on_probe(engine, params, rows, digits, want) -> bool:
                 engine.prepare_trgsw(rows, params), digits, params
             )
         )
-    except Exception:
-        return False
-    return bool(np.array_equal(got, np.asarray(want)))
+    except Exception as exc:  # noqa: BLE001 — cause is reported, not hidden
+        return False, (
+            f"failed to execute (compile/runtime error, NOT an exactness "
+            f"verdict): {type(exc).__name__}: {exc}"
+        )
+    want = np.asarray(want)
+    if got.shape != want.shape:
+        return False, f"wrong output shape {got.shape} (want {want.shape})"
+    if not np.array_equal(got, want):
+        bad = got != want
+        return False, (
+            f"INEXACT results: {int(bad.sum())}/{bad.size} output words "
+            f"differ from the mod-2^32 oracle"
+        )
+    return True, "exact"
+
+
+def engine_exact_on_probe(engine, params, rows, digits, want) -> bool:
+    """True iff ``engine`` reproduces the oracle on every probe pattern."""
+    return engine_probe_result(engine, params, rows, digits, want)[0]
 
 __all__ = [
     "PolyEngine",
@@ -235,4 +261,5 @@ __all__ = [
     "register_engine",
     "probe_vectors",
     "select_fast_engine",
+    "engine_probe_result",
 ]

@@ -539,7 +539,10 @@ class PallasKaratsubaEngine:
         if pad:
             a2 = jnp.pad(a2, ((0, pad), (0, 0)))
             n2 = jnp.pad(n2, ((0, pad), (0, 0)))
-        pan_e = build_panels_doubling(prep_even, ns, self.tm)
+        # prep_even may come prebuilt too (cloud_key_hybrid full_panels —
+        # the zero-in-step-build latency configuration); _panels_of
+        # detects panel form by its doubled-row layout.
+        pan_e = self._panels_of(prep_even, params)
         panels = jnp.stack([pan_e, panels_odd])
         out = fused_cmux_step_k(
             a2, n2, panels, params=params, levels=self.levels,

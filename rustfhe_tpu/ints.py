@@ -76,6 +76,10 @@ class FheUint:
         for i in range(self.width):
             val |= bits[..., i] << np.uint64(i)
         if self.SIGNED:
+            if self.width == 64:
+                # uint64 -> int64 reinterpret IS two's complement at w=64
+                # (the shift-based form below would shift by 64: UB).
+                return val.view(np.int64)
             sign = (val >> np.uint64(self.width - 1)) & np.uint64(1)
             return (val.astype(np.int64)
                     - (sign.astype(np.int64) << np.int64(self.width)))
@@ -116,17 +120,31 @@ class FheUint:
         ext = self._ext_planes(width - self.width)
         return self._like(jnp.concatenate([self.bits, ext], axis=-2))
 
-    def _coerce(self, other) -> tuple["FheUint", "FheUint"]:
+    def _coerce(self, other, *, dunder: bool = False):
+        """Coerce ``other`` to a same-width operand.
+
+        Dunder operators (``dunder=True``) return ``(NotImplemented,
+        NotImplemented)`` on unsupported types so Python's protocol can try
+        the reflected op; named methods raise ``TypeError`` directly."""
         if isinstance(other, (int, np.integer)):
+            # Mask in Python-int space, carry as uint64: widths up to 64
+            # coerce exactly (a pre-masked uint32 constant would silently
+            # drop bits 32..63).
+            val = int(other) & ((1 << self.width) - 1)
             other = type(self).trivial(
                 self.ctx,
-                jnp.full(self.batch_shape, int(other) & ((1 << self.width) - 1),
-                         U32),
+                np.full(self.batch_shape, val, np.uint64),
                 self.width,
             )
         if not isinstance(other, FheUint):
-            return NotImplemented, NotImplemented
-        assert other.SIGNED == self.SIGNED, "cannot mix FheUint and FheInt"
+            if dunder:
+                return NotImplemented, NotImplemented
+            raise TypeError(
+                f"operand must be FheUint/FheInt or int, "
+                f"got {type(other).__name__}"
+            )
+        if other.SIGNED != self.SIGNED:
+            raise TypeError("cannot mix FheUint and FheInt operands")
         w = max(self.width, other.width)
         return self.extend(w), other.extend(w)
 
@@ -145,13 +163,22 @@ class FheUint:
                                            fixed_width=fw)
 
     # ------------------------- arithmetic ----------------------------- #
+    def _adder_kind(self) -> str:
+        """Adder cell family: "kogge_stone" (default — log-depth, the
+        latency-right choice on the level-fused evaluator) or "ripple"
+        (fewest gates; set ``ctx.circuit_adder = "ripple"`` for
+        throughput-bound huge batches)."""
+        return getattr(self.ctx, "circuit_adder", "kogge_stone")
+
     def add_with_carry(self, other):
         a, b = self._coerce(other)
-        out = a._run(circuits.ripple_carry_adder(a.width), a, b)
+        cell = (circuits.ripple_carry_adder if self._adder_kind() == "ripple"
+                else circuits.kogge_stone_adder)(a.width)
+        out = a._run(cell, a, b)
         return a._like(out[..., : a.width, :]), out[..., a.width, :]
 
     def __add__(self, other):
-        a, b = self._coerce(other)
+        a, b = self._coerce(other, dunder=True)
         if a is NotImplemented:
             return NotImplemented
         s, _carry = a.add_with_carry(b)
@@ -161,20 +188,35 @@ class FheUint:
 
     def sub_with_borrow(self, other):
         """(self - other mod 2^w, borrow bit ct); borrow=1 iff
-        self < other (unsigned)."""
+        self < other (unsigned).
+
+        Default path: two's-complement through the log-depth adder —
+        ``a + ~b + 1`` with ~b and the three output fixups (bit 0's
+        complement, borrow = NOT carry) all FREE plane negations
+        (tlwe.neg), so subtraction costs exactly an addition."""
         a, b = self._coerce(other)
-        out = a._run(circuits.ripple_borrow_subtractor(a.width), a, b)
-        return a._like(out[..., : a.width, :]), out[..., a.width, :]
+        if self._adder_kind() == "ripple":
+            out = a._run(circuits.ripple_borrow_subtractor(a.width), a, b)
+            return a._like(out[..., : a.width, :]), out[..., a.width, :]
+        nb = a._like(tlwe.neg(b.bits))
+        out = a._run(
+            circuits.kogge_stone_adder(a.width, incoming_one=True), a, nb)
+        diff = out[..., : a.width, :]
+        diff = diff.at[..., 0, :].set(tlwe.neg(diff[..., 0, :]))
+        borrow = tlwe.neg(out[..., a.width, :])
+        return a._like(diff), borrow
 
     def __sub__(self, other):
-        a, b = self._coerce(other)
+        a, b = self._coerce(other, dunder=True)
         if a is NotImplemented:
             return NotImplemented
         d, _borrow = a.sub_with_borrow(b)
         return d
 
     def __rsub__(self, other):
-        a, b = self._coerce(other)
+        a, b = self._coerce(other, dunder=True)
+        if a is NotImplemented:
+            return NotImplemented
         return b - a
 
     def __neg__(self):
@@ -182,17 +224,22 @@ class FheUint:
             self.ctx, jnp.zeros(self.batch_shape, U32), self.width) - self
 
     def mul_full(self, other):
-        """Full-width product (2w bits)."""
+        """Full-width UNSIGNED product (2w bits).  FheInt overrides this
+        with the sign-extending variant (the unsigned array multiplier's
+        high half is wrong for negative operands)."""
         a, b = self._coerce(other)
         out = a._run(circuits.array_multiplier(a.width), a, b)
         return a._like(out)
 
     def __mul__(self, other):
-        # Truncated product mod 2^w: identical bits for signed/unsigned.
-        a, b = self._coerce(other)
+        # Truncated product mod 2^w: identical bits for signed/unsigned
+        # (so the unsigned array multiplier serves both — FheInt.mul_full
+        # overrides the FULL-width product, which is not sign-agnostic).
+        a, b = self._coerce(other, dunder=True)
         if a is NotImplemented:
             return NotImplemented
-        return a._like(a.mul_full(b).bits[..., : a.width, :])
+        out = a._run(circuits.array_multiplier(a.width), a, b)
+        return a._like(out[..., : a.width, :])
 
     __rmul__ = __mul__
 
@@ -227,7 +274,7 @@ class FheUint:
 
     # -------------------------- bitwise ------------------------------- #
     def _bitop(self, op: str, other):
-        a, b = self._coerce(other)
+        a, b = self._coerce(other, dunder=True)
         if a is NotImplemented:
             return NotImplemented
         return a._like(getattr(a.ctx, op)(a.bits, b.bits))
@@ -294,13 +341,27 @@ class FheUint:
         return jnp.concatenate([self.bits[..., :-1, :], flipped], axis=-2)
 
     def _compare(self, other):
-        """(lt, eq, gt) encrypted bit ciphertexts."""
+        """(lt, eq, gt) encrypted bit ciphertexts.
+
+        Default path: the log-depth prefix comparator (b's planes
+        pre-complemented for free); lt = NOT ge is free, gt = ge AND NOT
+        eq is one extra single-gate level."""
         a, b = self._coerce(other)
-        ct_in = jnp.concatenate([a._cmp_bits(), b._cmp_bits()], axis=-2)
+        if self._adder_kind() == "ripple":
+            ct_in = jnp.concatenate([a._cmp_bits(), b._cmp_bits()], axis=-2)
+            out = circuits.evaluate_encrypted(
+                circuits.comparator(a.width), a.ctx, ct_in,
+                fixed_width=getattr(a.ctx, "circuit_fixed_width", None))
+            return out[..., 0, :], out[..., 1, :], out[..., 2, :]
+        ct_in = jnp.concatenate(
+            [a._cmp_bits(), tlwe.neg(b._cmp_bits())], axis=-2)
         out = circuits.evaluate_encrypted(
-            circuits.comparator(a.width), a.ctx, ct_in,
+            circuits.prefix_comparator(a.width), a.ctx, ct_in,
             fixed_width=getattr(a.ctx, "circuit_fixed_width", None))
-        return out[..., 0, :], out[..., 1, :], out[..., 2, :]
+        ge, eq = out[..., 0, :], out[..., 1, :]
+        lt = tlwe.neg(ge)
+        gt = a.ctx.and_(ge, tlwe.neg(eq))
+        return lt, eq, gt
 
     def lt(self, other):
         return self._compare(other)[0]
@@ -341,7 +402,7 @@ class FheUint:
         return (-self).select(self.bits[..., -1, :], self)
 
 
-def from_pbs_int(ctx, ct, space: int) -> FheUint:
+def from_pbs_int(ctx, ct, space: int, *, unsafe: bool = False) -> FheUint:
     """Bridge a PBS-domain encrypted integer into the bit world: decompose
     ``ct`` (padding-bit encoding of x in [0, space), see pbs.py) into a
     ``FheUint`` of width log2(space) — ALL bit planes from ONE blind
@@ -349,12 +410,24 @@ def from_pbs_int(ctx, ct, space: int) -> FheUint:
 
     The result's bits are fresh gate-encoded ciphertexts, so the full
     integer/circuit API composes on them; cost = one bootstrap total.
+
+    The (space, t) noise margin is vetted with the measured-calibrated
+    model (``pbs.check_pbs_many``) and a below-threshold margin RAISES —
+    wrong encrypted bits are silent otherwise.  ``unsafe=True`` overrides
+    (e.g. for measuring a borderline combination on device).
     """
     from . import pbs as _pbs
 
     w = space.bit_length() - 1
     assert space == 1 << w, f"space must be a power of two, got {space}"
     t = 1 << max(0, (w - 1)).bit_length() if w > 1 else 1  # pad to pow2
+    ok, msg = _pbs.check_pbs_many(ctx.params, space, t)
+    if not ok and not unsafe:
+        raise ValueError(
+            f"from_pbs_int margin below threshold at this parameter set "
+            f"({msg}); use a PBS-tuned preset (params.PBS_PARAMS) or pass "
+            f"unsafe=True to override"
+        )
     mu = ctx.params.mu
     neg_mu = (-mu) & 0xFFFFFFFF
     tabs = np.array(
@@ -378,6 +451,18 @@ class FheInt(FheUint):
     """
 
     SIGNED = True
+
+    def mul_full(self, other):
+        """Full-width SIGNED product (2w bits, two's complement).
+
+        Sign-extends both operands to 2w and takes the low 2w bits of the
+        unsigned product — the truncation identity makes those bits the
+        exact signed product, which always fits 2w bits."""
+        a, b = self._coerce(other)
+        w = a.width
+        ae, be = a.extend(2 * w), b.extend(2 * w)
+        out = ae._run(circuits.array_multiplier(2 * w), ae, be)
+        return a._like(out[..., : 2 * w, :])
 
     def divmod(self, other):
         """Signed TRUNCATED division (C/Rust semantics): quotient rounds
@@ -403,5 +488,7 @@ class FheInt(FheUint):
     def _to_bits(values, width: int):
         v = np.asarray(values)
         if np.issubdtype(v.dtype, np.signedinteger):
-            v = v.astype(np.int64) & np.int64((1 << width) - 1)
+            # int64 -> uint64 reinterpret, then mask: exact up to width 64
+            # (an int64 mask constant would overflow at width 64).
+            v = v.astype(np.int64).view(np.uint64) & np.uint64((1 << width) - 1)
         return FheUint._to_bits(v, width)

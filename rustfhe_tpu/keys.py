@@ -130,11 +130,18 @@ class HybridBK(NamedTuple):
     prep_tail: jnp.ndarray   # (n % 2, ...) leftover standard step(s)
 
 
-def cloud_key_hybrid(ck: CloudKey, params: TFHEParams, engine_name) -> CloudKey:
+def cloud_key_hybrid(ck: CloudKey, params: TFHEParams, engine_name,
+                     full_panels: bool = False) -> CloudKey:
     """Hybrid-mode cloud key: odd-step panel tables precomputed, even built
     per step.  Engines without a fused pair step (non-Pallas paths) are
     returned unchanged.  Measured +7.7% throughput over the standard key
-    (1.730 vs 1.863 ms/step, benches/hybrid_unroll_probe.py), bit-exact."""
+    (1.730 vs 1.863 ms/step, benches/hybrid_unroll_probe.py), bit-exact.
+
+    ``full_panels=True`` prebuilds the EVEN steps' panel tables too
+    (latency-mode HBM cost, ~12.6 GiB at production parameters): the scan
+    runs n//2 fused pair steps with zero in-step panel builds — the
+    single-gate / interactive latency configuration (the per-step fixed
+    cost, not the MXU work, is the small-batch floor)."""
     engine = resolve_engine(engine_name)
     prep = getattr(engine, "prepare_panels", None)
     if prep is None or not hasattr(engine, "cmux_step_pair"):
@@ -143,11 +150,16 @@ def cloud_key_hybrid(ck: CloudKey, params: TFHEParams, engine_name) -> CloudKey:
         return ck
     n = ck.bk.shape[0]
     npairs = n // 2
+    even = ck.bk[0 : 2 * npairs : 2]
+    tail = ck.bk[2 * npairs :]
+    if full_panels:
+        even = prep(even, params)
+        tail = prep(tail, params) if tail.shape[0] else tail
     return CloudKey(
         bk=HybridBK(
-            prep_even=ck.bk[0 : 2 * npairs : 2],
+            prep_even=even,
             panels_odd=prep(ck.bk[1 : 2 * npairs : 2], params),
-            prep_tail=ck.bk[2 * npairs :],
+            prep_tail=tail,
         ),
         ksk=ck.ksk,
     )

@@ -140,6 +140,59 @@ N2048_PARAMS = TFHEParams(
     alpha_lv1=2.0 ** -26,
 )
 
+# PBS-tuned preset (round-4, VERDICT r3 item 2): sound multi-bit
+# programmable bootstrapping, where the DEFAULT set supports only 2-bit
+# PBS (space=4 at 5.7 calibrated sigma; space=8 measured 18/4096 wrong on
+# device).  Margins under the MEASURED-calibrated noise model
+# (utils/noise.py anchors 1-3, DEFAULT_SIGMA_INFLATION applied):
+#
+#   space=4: 19.3 sigma   space=8: 9.7 sigma   space=16: 4.8 sigma
+#   pbs_many (space=8, t=2): 5.1 sigma  — the radix-integer workhorse
+#
+# so 3-bit PBS (and the 2-bit-message + carry radix arithmetic in
+# radix.py) passes the 5-sigma bar with real headroom; space=16 is
+# borderline-by-design (the dominant term is the modulus-switch drift
+# (n+1) * 2^-2(nbit+2) / 3, irreducible at N=2048 without a larger ring).
+#
+# Design: N=2048 (nbit=11 quarters the per-coefficient drift variance vs
+# N=1024), l=4 x bgbit=6 (24-bit gadget: eps = 2^-24 makes decomposition
+# rounding negligible; half_bg=32 keeps the Karatsuba-2 int8 digit-sum
+# bound 32*4 <= 128, so the production fused kernel still applies),
+# alpha_lv1=2^-32 (exact-integer engines don't care; RLWE N=2048 at
+# 2^-32 is far beyond 128-bit), key switch rebased to 4-bit x 4 levels
+# (same 16-bit depth as the default's 2x8 with half the KSK noise terms),
+# and lv0 moved along the security-equivalence curve n/log2(1/alpha) ~
+# const: n=714 at alpha=2^-15*2^-2 = 2^-17 (714/17 = 42.0 vs the
+# reference set's 635/15 = 42.3 — same lattice hardness ballpark as the
+# reference's own ~110-bit set, not a security downgrade).
+# Gate margin at this preset: 30.9 sigma.  Device-validated in BENCH.md
+# (round 4).
+PBS_PARAMS = TFHEParams(
+    n=714,
+    N=2048,
+    alpha_lv0=2.0 ** -17,
+    alpha_lv1=2.0 ** -32,
+    bgbit=6,
+    l=4,
+    iks_basebit=4,
+    iks_l=4,
+)
+
+# CPU-test analogue of PBS_PARAMS: same algebraic structure (l=4, 4x4 key
+# switch), tiny dimensions, noise low enough that space=8 PBS decodes
+# exactly in tests; N=256 keeps nbit high enough that even the analytic
+# radix-add margin (radix.check_radix) passes without an override.
+PBS_TEST_PARAMS = TFHEParams(
+    n=16,
+    N=256,
+    alpha_lv0=2.0 ** -20,
+    alpha_lv1=2.0 ** -30,
+    bgbit=6,
+    l=4,
+    iks_basebit=4,
+    iks_l=4,
+)
+
 # EXPERIMENTAL speed preset: 2 gadget levels of base 2^8 instead of 3 of
 # 2^6 — 2L goes 6 -> 4, cutting the external product's MXU work by 1.5x
 # while digits still fit int8.  UNSOUND at the default n=635/N=1024

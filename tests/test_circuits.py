@@ -211,3 +211,75 @@ def test_random_dag_fuzz_encrypted_vs_plain(ctx):
     cts = ctx.encrypt(jnp.asarray(bits))
     dec = np.asarray(ctx.decrypt(evaluate_encrypted(c, ctx, cts)))
     assert np.array_equal(dec, plain)
+
+
+# ------------------- log-depth cells (VERDICT r3 item 6) ------------------- #
+def test_kogge_stone_plain_exhaustive_4bit():
+    from rustfhe_tpu.apps.circuits import kogge_stone_adder
+
+    c = kogge_stone_adder(4)
+    assert c.depth <= 5  # 15-level ripple -> log-depth
+    for a in range(16):
+        for b in range(16):
+            bits = np.array([(a >> i) & 1 for i in range(4)]
+                            + [(b >> i) & 1 for i in range(4)])
+            out = evaluate_plain(c, bits)
+            total = sum(int(out[i]) << i for i in range(5))
+            assert total == a + b, (a, b, total)
+
+
+def test_kogge_stone_depth_contract():
+    from rustfhe_tpu.apps.circuits import kogge_stone_adder, prefix_comparator
+
+    # The VERDICT bar: adder8 depth <= 9 (measured: 7); comparator log too.
+    assert kogge_stone_adder(8).depth == 7
+    assert kogge_stone_adder(8, incoming_one=True).depth == 7
+    assert kogge_stone_adder(16).depth == 9
+    assert prefix_comparator(8).depth == 7
+    assert ripple_carry_adder(8).depth == 15  # what it replaced
+
+
+def test_kogge_stone_incoming_one_sub_plain_exhaustive_4bit():
+    from rustfhe_tpu.apps.circuits import kogge_stone_adder
+
+    c = kogge_stone_adder(4, incoming_one=True)
+    for a in range(16):
+        for b in range(16):
+            nb = (~b) & 15
+            bits = np.array([(a >> i) & 1 for i in range(4)]
+                            + [(nb >> i) & 1 for i in range(4)])
+            out = evaluate_plain(c, bits).astype(int)
+            out[0] ^= 1  # caller-side free complement of bit 0
+            diff = sum(int(out[i]) << i for i in range(4))
+            assert diff == (a - b) & 15, (a, b, diff)
+            assert out[4] == int(a >= b)  # carry-out = NOT borrow
+
+
+def test_prefix_comparator_plain_exhaustive_4bit():
+    from rustfhe_tpu.apps.circuits import prefix_comparator
+
+    c = prefix_comparator(4)
+    for a in range(16):
+        for b in range(16):
+            nb = (~b) & 15
+            bits = np.array([(a >> i) & 1 for i in range(4)]
+                            + [(nb >> i) & 1 for i in range(4)])
+            ge, eq = evaluate_plain(c, bits)
+            assert ge == int(a >= b) and eq == int(a == b), (a, b)
+
+
+def test_encrypted_kogge_stone_adder_8bit(ctx):
+    from rustfhe_tpu.apps.circuits import kogge_stone_adder
+
+    c = kogge_stone_adder(8)
+    rs = np.random.RandomState(3)
+    av, bv = rs.randint(0, 256, 6), rs.randint(0, 256, 6)
+    bits = np.zeros((6, 16), np.uint32)
+    for i in range(8):
+        bits[:, i] = (av >> i) & 1
+        bits[:, 8 + i] = (bv >> i) & 1
+    cts = ctx.encrypt(jnp.asarray(bits))
+    out = evaluate_encrypted(c, ctx, cts)
+    dec = np.asarray(ctx.decrypt(out)).astype(np.int64)
+    got = sum(dec[:, i] << i for i in range(9))
+    np.testing.assert_array_equal(got, av + bv)

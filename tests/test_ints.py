@@ -173,6 +173,54 @@ def test_rotations(ctx):
     np.testing.assert_array_equal(x.rotl(W + 2).decrypt(), rotl(A_VALS, 2))
 
 
+def test_signed_mul_full(ctx):
+    """FheInt.mul_full sign-extends: the full 2w-bit product of signed
+    values is the signed product, not the unsigned-array one (which gave
+    e.g. (-1) * 2 -> 30 at width 4)."""
+    av = np.array([-1, -8, 3, -5, 7], np.int64)
+    bv = np.array([2, -8, -3, 5, 7], np.int64)
+    a = ctx.encrypt_sint(av, W)
+    b = ctx.encrypt_sint(bv, W)
+    full = a.mul_full(b)
+    assert full.width == 2 * W
+    np.testing.assert_array_equal(full.decrypt(), av * bv)
+
+
+def test_operand_type_errors(ctx, ab):
+    """Named methods raise TypeError on unsupported operand types; dunder
+    operators defer via NotImplemented (surfacing as TypeError from
+    Python); FheUint/FheInt never silently mix."""
+    a, _ = ab
+    s = ctx.encrypt_sint(np.zeros(len(A_VALS), np.int64), W)
+    with pytest.raises(TypeError):
+        a.lt(1.5)
+    with pytest.raises(TypeError):
+        a.min_("nope")
+    with pytest.raises(TypeError):
+        a + 1.5  # dunder -> NotImplemented -> Python TypeError
+    with pytest.raises(TypeError):
+        a + s  # unsigned/signed mix is an explicit error, not an assert
+
+
+def test_wide_plaintext_coercion(ctx):
+    """Plaintext operands with bits above 32 coerce exactly (the old
+    uint32 constant path silently dropped them)."""
+    wide = 40
+    big = (1 << 39) | (1 << 35) | 5
+    x = ctx.encrypt_uint(np.array([0, (1 << 40) - 1], np.uint64), wide)
+    np.testing.assert_array_equal(
+        (x ^ big).decrypt(),
+        np.array([big, ((1 << 40) - 1) ^ big], np.uint64))
+
+
+def test_width64_sint_round_trip(ctx):
+    """decrypt at width 64 reinterprets uint64 as two's complement instead
+    of computing an out-of-range 1 << 64 shift."""
+    vals = np.array([-1, -(1 << 63), (1 << 63) - 1, 42], np.int64)
+    x = ctx.encrypt_sint(vals, 64)
+    np.testing.assert_array_equal(x.decrypt(), vals)
+
+
 def test_signed_divmod(ctx):
     """Truncated signed division (C/Rust): q toward zero, r follows a;
     div-by-zero: q = -sign(a) interpretation (-1 / +1), r = a."""

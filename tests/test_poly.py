@@ -370,6 +370,40 @@ def test_probe_vectors_catch_edge_broken_engine():
     assert (digits == -params.half_bg).any()
 
 
+def test_probe_result_distinguishes_failure_causes():
+    """engine_probe_result reports WHY a probe failed: an engine that ran
+    but was inexact reads 'INEXACT'; one that raised (compile failure)
+    carries the exception text — the diagnostic RUSTFHE_ENGINE overrides
+    need when the remote-compile path degrades."""
+    from rustfhe_tpu.engine import engine_probe_result, get_engine, probe_vectors
+
+    params = TFHEParams(n=16, N=64)
+    rows, digits = probe_vectors(params)
+    rows_j, digits_j = jnp.asarray(rows), jnp.asarray(digits)
+    oracle = get_engine("oracle")
+    want = oracle.external_product_digits(
+        oracle.prepare_trgsw(rows_j, params), digits_j, params
+    )
+    ok, why = engine_probe_result(get_engine("matmul"), params, rows_j, digits_j, want)
+    assert ok and why == "exact"
+    ok, why = engine_probe_result(_EdgeBrokenEngine(), params, rows_j, digits_j, want)
+    assert not ok and "INEXACT" in why
+
+    class _Crashing:
+        name = "crashing"
+
+        def prepare_trgsw(self, rows, params):
+            raise RuntimeError("Mosaic lowering failed: simulated")
+
+        def external_product_digits(self, prepared, digits, params):
+            raise AssertionError("unreachable")
+
+    ok, why = engine_probe_result(_Crashing(), params, rows_j, digits_j, want)
+    assert not ok
+    assert "failed to execute" in why and "simulated" in why
+    assert "INEXACT" not in why
+
+
 def test_pallas_k_hybrid_mode_bit_exact():
     # Hybrid mode (keys.cloud_key_hybrid): blind rotation as 2-step fused
     # pairs (odd-step panels prebuilt, even built per step) + a standard
@@ -395,6 +429,14 @@ def test_pallas_k_hybrid_mode_bit_exact():
     ref = gates.hom_nand(ck, cx, cy, params=params, engine_name=eng)
     got = gates.hom_nand(ck_h, cx, cy, params=params, engine_name=eng)
     assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+    # full_panels variant (latency configuration: even AND tail panels
+    # prebuilt too, zero in-step builds) — still bit-exact.
+    ck_f = cloud_key_hybrid(ck, params, eng, full_panels=True)
+    assert isinstance(ck_f.bk, HybridBK)
+    assert ck_f.bk.prep_even.shape != ck_h.bk.prep_even.shape  # panel form
+    got_f = gates.hom_nand(ck_f, cx, cy, params=params, engine_name=eng)
+    assert np.array_equal(np.asarray(got_f), np.asarray(ref))
 
 
 def test_cloud_key_hybrid_noop_for_engines_without_pair_step():

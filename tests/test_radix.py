@@ -1,0 +1,120 @@
+"""Radix-PBS integers (radix.py): plaintext-consistency at PBS_TEST_PARAMS
+(the CPU analogue of the PBS-tuned preset), plus the soundness-check
+contract: PBS_PARAMS passes ``check_radix``, the DEFAULT reference set is
+rejected (its space-8 bucket measured 18/4096 wrong on device)."""
+
+import jax
+import numpy as np
+import pytest
+
+from rustfhe_tpu import radix
+from rustfhe_tpu.context import TFHE
+from rustfhe_tpu.params import DEFAULT_PARAMS, PBS_PARAMS, PBS_TEST_PARAMS
+from rustfhe_tpu.radix import RadixUint
+
+ND = 3  # digits -> 6-bit integers
+MASK = (1 << (2 * ND)) - 1
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return TFHE.new(jax.random.PRNGKey(17), PBS_TEST_PARAMS, "matmul")
+
+
+A = np.array([0, 1, 13, 42, 63, 29], np.uint64)
+B = np.array([0, 63, 9, 21, 1, 50], np.uint64)
+
+
+def test_check_radix_contract():
+    ok, msg = radix.check_radix(PBS_PARAMS)
+    assert ok, msg
+    ok_m, msg_m = radix.check_radix(PBS_PARAMS, use_many=True)
+    # t=2 extraction is the documented borderline variant (~4.9 sigma).
+    assert not ok_m and "4.9" in msg_m, msg_m
+    ok_d, msg_d = radix.check_radix(DEFAULT_PARAMS)
+    assert not ok_d, f"DEFAULT must be rejected for radix: {msg_d}"
+    ok_t, msg_t = radix.check_radix(PBS_TEST_PARAMS)
+    assert ok_t, msg_t
+
+
+def test_round_trip(ctx):
+    x = RadixUint.encrypt(ctx, A, ND)
+    assert x.ndigits == ND and x.width == 2 * ND
+    np.testing.assert_array_equal(x.decrypt(), A)
+    t = RadixUint.trivial(ctx, B, ND)
+    np.testing.assert_array_equal(t.decrypt(), B)
+
+
+def test_add(ctx):
+    a = RadixUint.encrypt(ctx, A, ND)
+    b = RadixUint.encrypt(ctx, B, ND)
+    s, carry = a.add_with_carry(b)
+    np.testing.assert_array_equal(s.decrypt(), (A + B) & MASK)
+    carry_dec = np.asarray(ctx.decrypt_int(carry, radix.SPACE))
+    np.testing.assert_array_equal(carry_dec, (A + B) >> np.uint64(2 * ND))
+    np.testing.assert_array_equal((a + 7).decrypt(), (A + 7) & MASK)
+
+
+def test_add_use_many(ctx):
+    # The t=2 PBSmanyLUT extraction path (one rotation per digit level).
+    # unsafe=True: the t^2-scaled drift scores ~4.2 sigma at these TEST
+    # dimensions (a tiny-nbit artifact; decode is exact in practice).
+    a = RadixUint.encrypt(ctx, A, ND)
+    b = RadixUint.encrypt(ctx, B, ND)
+    s, _ = a.add_with_carry(b, use_many=True, unsafe=True)
+    np.testing.assert_array_equal(s.decrypt(), (A + B) & MASK)
+
+
+def test_sub(ctx):
+    a = RadixUint.encrypt(ctx, A, ND)
+    b = RadixUint.encrypt(ctx, B, ND)
+    d, not_borrow = a.sub_with_not_borrow(b)
+    np.testing.assert_array_equal(d.decrypt(), (A - B) & MASK)
+    nb_dec = np.asarray(ctx.decrypt_int(not_borrow, radix.SPACE))
+    np.testing.assert_array_equal(nb_dec, (A >= B).astype(np.uint64))
+    np.testing.assert_array_equal((-a).decrypt(), (-A) & MASK)
+    np.testing.assert_array_equal((63 - a).decrypt(), (63 - A) & MASK)
+
+
+def test_compare(ctx):
+    a = RadixUint.encrypt(ctx, A, ND)
+    b = RadixUint.encrypt(ctx, B, ND)
+    dec = lambda ct: np.asarray(ctx.decrypt(ct), np.uint64)
+    np.testing.assert_array_equal(dec(a.lt(b)), A < B)
+    np.testing.assert_array_equal(dec(a.eq(b)), A == B)
+    np.testing.assert_array_equal(dec(a.ge(b)), A >= B)
+    np.testing.assert_array_equal(dec(a.gt(b)), A > B)
+
+
+def test_bit_bridges(ctx):
+    from rustfhe_tpu.ints import FheUint
+
+    a = RadixUint.encrypt(ctx, A, ND)
+    bits = a.to_bits()
+    assert isinstance(bits, FheUint) and bits.width == 2 * ND
+    np.testing.assert_array_equal(bits.decrypt(), A)
+    back = RadixUint.from_bits(bits)
+    assert back.ndigits == ND
+    np.testing.assert_array_equal(back.decrypt(), A)
+    # Odd widths round up to the next digit.
+    u5 = FheUint.encrypt(ctx, A & 31, 5)
+    r5 = RadixUint.from_bits(u5)
+    assert r5.ndigits == 3
+    np.testing.assert_array_equal(r5.decrypt(), A & 31)
+
+
+def test_guard_raises_at_default_params():
+    # The DEFAULT set must be refused (space-8 unsound there) unless the
+    # caller explicitly overrides.
+    ctx = TFHE(None, None, DEFAULT_PARAMS, "matmul")
+    a = RadixUint(ctx, np.zeros((1, 2, DEFAULT_PARAMS.n + 1), np.uint32))
+    with pytest.raises(ValueError, match="margin below threshold"):
+        a.add_with_carry(a)
+
+
+def test_chained_ops(ctx):
+    # Outputs are fresh bootstrap outputs: ops compose without refresh.
+    a = RadixUint.encrypt(ctx, A, ND)
+    b = RadixUint.encrypt(ctx, B, ND)
+    c = (a + b) - b
+    np.testing.assert_array_equal(c.decrypt(), A)

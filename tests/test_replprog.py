@@ -1,0 +1,70 @@
+"""Fused REPL evaluator (apps/replprog.py): plan lowering + one-dispatch-
+per-level evaluation must agree with the plain evaluator on every
+expression shape (leaf-only, single gate, NOT chains, nested levels)."""
+
+import jax
+import numpy as np
+import pytest
+
+from rustfhe_tpu.apps import nander
+from rustfhe_tpu.apps.replprog import FusedEvaluator, expr_to_circuit
+from rustfhe_tpu.apps.circuits import evaluate_plain
+from rustfhe_tpu.context import TFHE
+from rustfhe_tpu.params import TEST_PARAMS
+
+EXPRS = [
+    "1", "0", "!1", "!!0",
+    "1 $ 0", "0 $ 0", "1 & 1", "1 | 0", "1 ^ 1",
+    "(1 & 0) ^ !0",
+    "1 & 1 & 0 | 1",
+    "((1|0)&(1^1))$(0|1)",
+    "!(1 & (0 | !1)) ^ (1 $ (0 ^ 1))",
+]
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return TFHE.new(jax.random.PRNGKey(3), TEST_PARAMS, "matmul")
+
+
+def test_expr_to_circuit_matches_plain():
+    plain = nander.PlainLogic()
+    for e in EXPRS:
+        ast = nander.parse_logic_expr(e)
+        circ, leaves = expr_to_circuit(ast)
+        want = nander.eval_logic_expr(plain, ast)
+        if circ.gates:
+            got = int(evaluate_plain(circ, np.array(leaves))[..., 0])
+        else:
+            got = leaves[0] if leaves else 0
+        assert got == want, e
+
+
+def test_fused_eval_matches_plain(ctx):
+    ev = FusedEvaluator(ctx)
+    plain = nander.PlainLogic()
+    for e in EXPRS:
+        ast = nander.parse_logic_expr(e)
+        assert ev.fits(ast), e
+        assert ev.eval_bit(ast) == nander.eval_logic_expr(plain, ast), e
+
+
+def test_capacity_fallback(ctx):
+    # A level wider than the lane cap must be reported as not fitting.
+    ev = FusedEvaluator(ctx, width=2, max_wires=16)
+    wide = " ^ ".join(["(1 & 0)"] * 4)  # 4 ANDs share level 1
+    ast = nander.parse_logic_expr(wide)
+    assert not ev.fits(ast)
+    with pytest.raises(ValueError, match="static capacities"):
+        ev.eval_bit(ast)
+
+
+def test_console_uses_fused_path(ctx):
+    import io
+
+    out = io.StringIO()
+    nander.nander_console(params=TEST_PARAMS, engine_name="matmul",
+                          stdin=io.StringIO("(1 & 0) ^ !0\n1 $ 1\n"),
+                          stdout=out)
+    text = out.getvalue()
+    assert "res: 1" in text and "res: 0" in text
