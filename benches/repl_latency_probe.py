@@ -5,19 +5,25 @@ Target: the reference evaluates one HomNAND in 30.6 ms on its CPU
 68 ms.  This probe measures, on the real device, every lever of the B=1
 path and the composed fused-REPL latency:
 
-  1. bootstrap-only latency at B=1 for each key mode:
-     standard / latency (prebuilt panels) / hybrid / hybrid+full-panels
-     (pair steps, zero in-step builds) — CHAINED (out feeds the next
+  1. the dispatch floor (a tiny jitted round trip through the relay);
+  2. per key mode — standard / latency (prebuilt panels) / hybrid /
+     hybrid+full-panels (pair steps, zero in-step builds) — the
+     bootstrap-only latency at B=1, CHAINED (out feeds the next
      pre-combination) so the relay's identical-execution cache cannot
-     short-circuit the timing;
-  2. the fused REPL path (apps/replprog.py: ONE dispatch for a single
-     NAND, leaves + precombine + rotation + lv1 decrypt in-program),
-     with a nonce wire varied per call to defeat the execution cache;
-  3. the dispatch floor: an empty-ish jitted program round trip.
+     short-circuit, and the fused REPL single-NAND path (ONE dispatch:
+     leaves + precombine + rotation + lv1 decrypt in-program, a nonce
+     wire varied per call to defeat the execution cache).
+
+  Key modes are built, measured and RELEASED one at a time: the panel
+  tables are ~12.6 GiB each at production parameters — two modes cannot
+  coexist in a v5e's 16 GB HBM.
+
+  3. the fused 3-gate expression (2 dispatches) on the last mode.
 
 Usage:  RUSTFHE_ENGINE=pallas_k2 python benches/repl_latency_probe.py
 """
 
+import gc
 import os
 import sys
 import time
@@ -51,6 +57,20 @@ def bench_chained(tag, fn, x0, iters=ITERS):
     return dt
 
 
+def bench_fused_nand(tag, ckm, sk, eng):
+    ctx = TFHE(sk, ckm, P, eng)
+    ev = FusedEvaluator(ctx)
+    ast = nander.parse_logic_expr("1 $ 0")
+    nonce = lambda: np.random.randint(0, 2**31, P.n)
+    assert ev.eval_bit(ast, _nonce=nonce()) == 1  # compile + check
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        assert ev.eval_bit(ast, _nonce=nonce()) == 1
+    dt = (time.perf_counter() - t0) / ITERS
+    print(f"fused REPL NAND [{tag}]: {dt * 1e3:.1f} ms", flush=True)
+    return ctx
+
+
 def main():
     print(f"# device: {jax.devices()[0].platform} "
           f"{getattr(jax.devices()[0], 'device_kind', '?')}", flush=True)
@@ -68,64 +88,52 @@ def main():
     f_id = jax.jit(lambda x: (x + U32(1)).astype(U32))
     bench_chained("dispatch floor (tiny jit)", f_id, c1, iters=20)
 
-    # 1. bootstrap-only at B=1, chained, per key mode.
-    modes = {"standard": ck}
-    t0 = time.perf_counter()
-    modes["latency (panels)"] = keys.cloud_key_panels(ck, P, eng)
-    print(f"# panels built in {time.perf_counter() - t0:.1f}s", flush=True)
-    t0 = time.perf_counter()
-    modes["hybrid"] = keys.cloud_key_hybrid(ck, P, eng)
-    modes["hybrid full-panels"] = keys.cloud_key_hybrid(
-        ck, P, eng, full_panels=True)
-    print(f"# hybrid keys built in {time.perf_counter() - t0:.1f}s", flush=True)
+    # 1+2. per key mode, built and released one at a time (HBM budget).
+    builders = [
+        ("standard", lambda: ck),
+        ("latency (panels)", lambda: keys.cloud_key_panels(ck, P, eng)),
+        ("hybrid", lambda: keys.cloud_key_hybrid(ck, P, eng)),
+        ("hybrid full-panels",
+         lambda: keys.cloud_key_hybrid(ck, P, eng, full_panels=True)),
+    ]
+    last_ctx = None
+    for tag, build in builders:
+        t0 = time.perf_counter()
+        try:
+            ckm = build()
+            jax.block_until_ready(jax.tree.leaves(ckm))
+        except Exception as e:  # noqa: BLE001 — probe records OOM etc.
+            print(f"[{tag}] key build FAILED {type(e).__name__}: {e}",
+                  flush=True)
+            continue
+        print(f"# [{tag}] key ready in {time.perf_counter() - t0:.1f}s",
+              flush=True)
 
-    for tag, ckm in modes.items():
         def boot(x, _ck=ckm):
             pre = gates.precombine("nand", x, x, params=P)
             return gates.hom_bootstrap(_ck, pre, params=P, engine_name=eng)
+
         try:
             bench_chained(f"B=1 bootstrap [{tag}]", boot, c1)
-        except Exception as e:  # noqa: BLE001 - probe records OOM etc.
-            print(f"B=1 bootstrap [{tag}]: FAILED {type(e).__name__}: {e}",
-                  flush=True)
+            last_ctx = bench_fused_nand(tag, ckm, sk, eng)
+        except Exception as e:  # noqa: BLE001
+            print(f"[{tag}] FAILED {type(e).__name__}: {e}", flush=True)
+        if tag != builders[-1][0]:
+            last_ctx = None
+        del ckm
+        gc.collect()
 
-    # 2. fused REPL single NAND, per key mode (nonce defeats the cache).
-    for tag in ("standard", "latency (panels)", "hybrid full-panels"):
-        ctx = TFHE(sk, modes[tag], P, eng)
-        ev = FusedEvaluator(ctx)
-        ast = nander.parse_logic_expr("1 $ 0")
-        plan = ev._plan(ast)
-        _, leaf_bits, n_inputs, plans, (iab, coeff) = plan
-        assert not plans  # single gate: final program only
-
-        def one(nonce):
-            wires_np = np.zeros((ev.max_wires, P.n + 1), np.uint32)
-            for i, bit in enumerate(leaf_bits):
-                wires_np[i, 0] = 0x20000000 if bit else 0xE0000000
-            wires_np[-1, 1:] = nonce  # cache-busting, result-neutral
-            bit = ev._final(modes[tag].bk, sk.lv1, jnp.asarray(wires_np),
-                            iab, coeff)
-            return int(jax.block_until_ready(bit))
-
-        assert one(np.random.randint(0, 2**31, P.n)) == 1  # compile + check
-        t0 = time.perf_counter()
-        for it in range(ITERS):
-            r = one(np.random.randint(0, 2**31, P.n))
-            assert r == 1
-        dt = (time.perf_counter() - t0) / ITERS
-        print(f"fused REPL NAND [{tag}]: {dt * 1e3:.1f} ms", flush=True)
-
-    # 3. fused 3-gate expression (2 dispatches), best key mode.
-    ctx = TFHE(sk, modes["hybrid full-panels"], P, eng)
-    ev = FusedEvaluator(ctx)
-    ast = nander.parse_logic_expr("(1 & 0) ^ !0")
-    nonce = lambda: np.random.randint(0, 2**31, P.n)
-    assert ev.eval_bit(ast, _nonce=nonce()) == 1
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
+    # 3. fused 3-gate expression (2 dispatches) on the last mode.
+    if last_ctx is not None:
+        ev = FusedEvaluator(last_ctx)
+        ast = nander.parse_logic_expr("(1 & 0) ^ !0")
+        nonce = lambda: np.random.randint(0, 2**31, P.n)
         assert ev.eval_bit(ast, _nonce=nonce()) == 1
-    print(f"fused 3-gate expr [hybrid full-panels]: "
-          f"{(time.perf_counter() - t0) / ITERS * 1e3:.1f} ms", flush=True)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            assert ev.eval_bit(ast, _nonce=nonce()) == 1
+        print(f"fused 3-gate expr [hybrid full-panels]: "
+              f"{(time.perf_counter() - t0) / ITERS * 1e3:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -113,6 +113,21 @@ def main():
     print(f"=> radix vs bit-circuit: {dt_bits / dt_radix:.2f}x wall-time, "
           f"bootstrap levels 15 -> {nd}, lookups ~38 -> {2 * nd}", flush=True)
 
+    # ---- 2b. radix 8-bit multiply (18 bootstrap levels; check_radix_mul
+    # passes at 5.5 calibrated sigma at this preset).
+    ok_mul, msg_mul = radix.check_radix_mul(p)
+    print(f"# {msg_mul} -> ok={ok_mul}", flush=True)
+    prod = a * b  # compile
+    jax.block_until_ready(prod.digits)
+    t0 = time.perf_counter()
+    prod2 = prod * b  # chained
+    jax.block_until_ready(prod2.digits)
+    dt_mul = time.perf_counter() - t0
+    n_ok = int((prod.decrypt() == ((av * bv) & 0xFF)).sum())
+    print(f"radix mul8 B={B}: {n_ok}/{B} correct, {dt_mul * 1e3:.0f} ms "
+          f"per multiply (18 bootstrap levels)", flush=True)
+    assert n_ok == B
+
     # ---- 3. the borderline pbs_many(8, 2) variant, measured honestly.
     ok_m, msg_m = pbs.check_pbs_many(p, 8, 2)
     print(f"# {msg_m} -> ok={ok_m}", flush=True)

@@ -223,12 +223,16 @@ class FheUint:
         return type(self).trivial(
             self.ctx, jnp.zeros(self.batch_shape, U32), self.width) - self
 
+    def _mul_cell(self, w: int):
+        return (circuits.array_multiplier if self._adder_kind() == "ripple"
+                else circuits.wallace_multiplier)(w)
+
     def mul_full(self, other):
         """Full-width UNSIGNED product (2w bits).  FheInt overrides this
-        with the sign-extending variant (the unsigned array multiplier's
-        high half is wrong for negative operands)."""
+        with the sign-extending variant (the unsigned multiplier's high
+        half is wrong for negative operands)."""
         a, b = self._coerce(other)
-        out = a._run(circuits.array_multiplier(a.width), a, b)
+        out = a._run(a._mul_cell(a.width), a, b)
         return a._like(out)
 
     def __mul__(self, other):
@@ -238,7 +242,7 @@ class FheUint:
         a, b = self._coerce(other, dunder=True)
         if a is NotImplemented:
             return NotImplemented
-        out = a._run(circuits.array_multiplier(a.width), a, b)
+        out = a._run(a._mul_cell(a.width), a, b)
         return a._like(out[..., : a.width, :])
 
     __rmul__ = __mul__
@@ -461,7 +465,7 @@ class FheInt(FheUint):
         a, b = self._coerce(other)
         w = a.width
         ae, be = a.extend(2 * w), b.extend(2 * w)
-        out = ae._run(circuits.array_multiplier(2 * w), ae, be)
+        out = ae._run(a._mul_cell(2 * w), ae, be)
         return a._like(out[..., : 2 * w, :])
 
     def divmod(self, other):

@@ -73,6 +73,25 @@ def check_radix(params, use_many: bool = False,
     return margin >= min_sigmas, msg
 
 
+def check_radix_mul(params, min_sigmas: float = 5.0) -> tuple[bool, str]:
+    """Noise verdict for the radix MULTIPLY path at ``params``.
+
+    The multiply's worst PBS input is the bivariate product index
+    ``a_i + 4 * b_bit`` — one bootstrap output plus a 4-scaled bootstrap
+    output (variance x16) plus the modulus switch.  (The adds it feeds are
+    covered by ``check_radix``; their inputs stay plain digits.)"""
+    from .utils.noise import DEFAULT_SIGMA_INFLATION, noise_budget
+
+    nb = noise_budget(params)
+    var_out = nb.var_bootstrap + nb.var_keyswitch
+    var = 17.0 * var_out + nb.var_rounding
+    sigma = math.sqrt(var) * DEFAULT_SIGMA_INFLATION
+    margin = (1.0 / (4.0 * SPACE)) / sigma
+    msg = (f"radix mul (space={SPACE}, idx = a + 4*bit): margin "
+           f"{margin:.1f} sigma (calibrated sigma={sigma:.2e})")
+    return margin >= min_sigmas, msg
+
+
 def _digit_tables(kind: str) -> np.ndarray:
     """(space,) int tables for the digit-normalization lookups."""
     x = np.arange(SPACE, dtype=np.uint32)
@@ -255,6 +274,98 @@ class RadixUint:
         return RadixUint.trivial(
             self.ctx, np.zeros(self.batch_shape, np.uint64),
             self.ndigits) - self
+
+    # ------------------------ multiplication -------------------------- #
+    def _zero_digit(self):
+        z = jnp.zeros(self.batch_shape + (1,), U32)
+        return tlwe.trivial(z, self.ctx.params.n)[..., 0, :]
+
+    def mul(self, other, *, full: bool = False, unsafe: bool = False):
+        """Schoolbook radix multiply, every PBS at a >= 5-sigma margin
+        (``check_radix_mul``) — no wide-space lookups anywhere:
+
+        1. ONE level extracts both bits of every digit of ``b``;
+        2. ONE level evaluates all digit-by-bit products via the bivariate
+           index ``a_i + 4*b_bit`` (space-8 lookup ``(x & 3) * (x >> 2)``;
+           products by a BIT are <= 3, so they are plain digits — the
+           naive digit-by-digit product (<= 9) would need a space-16
+           normalization whose margin is only ~4.5 sigma);
+        3. the partial-product rows (the x2-weighted bit-1 rows entered
+           TWICE — doubling by re-addition keeps every addend a plain
+           digit) reduce in a BATCHED binary tree: each round is one
+           radix add over all row pairs stacked on a lane axis, so the
+           whole reduction costs ceil(log2(3*nd)) x nd bootstrap levels.
+
+        8-bit (nd=4) truncated multiply: 2 + 4*4 = 18 bootstrap levels.
+        ``full=True`` returns all 2*nd digits."""
+        a, b = self._coerce(other)
+        p = a.ctx.params
+        ok1, m1 = check_radix(p)
+        ok2, m2 = check_radix_mul(p)
+        if not (ok1 and ok2) and not unsafe:
+            raise ValueError(
+                f"radix mul margin below threshold ({m1 if not ok1 else m2});"
+                f" use params.PBS_PARAMS or pass unsafe=True")
+        nd = a.ndigits
+        out_nd = 2 * nd if full else nd
+        # 1. both bits of every digit of b, one PBS level.
+        dstack = jnp.moveaxis(b.digits, -2, 0)  # (nd, ..., n+1)
+        cts = jnp.concatenate([dstack, dstack])  # (2nd, ...)
+        x = np.arange(SPACE, dtype=np.uint32)
+        tabs = np.concatenate([np.tile(x & 1, (nd, 1)),
+                               np.tile((x >> 1) & 1, (nd, 1))])
+        bits = self._pbs_level(cts, tabs)
+        # 2. all digit-by-bit products in one PBS level.
+        tab_mul = ((x & 3) * ((x >> 2) & 1)).astype(np.uint32)
+        lanes = []
+        for i in range(nd):
+            for j in range(nd):
+                if i + j >= out_nd:
+                    continue
+                ai = a.digits[..., i, :]
+                for w in (0, 1):
+                    bj = bits[j + w * nd]
+                    lanes.append((ai + U32(4) * bj).astype(U32))
+        prods = self._pbs_level(jnp.stack(lanes),
+                                np.tile(tab_mul, (len(lanes), 1)))
+        # 3. rows (plane shuffles, free), x2 rows twice; batched add tree.
+        zero = self._zero_digit()
+        rows = []
+        # Group product lanes into per-(bit-weight, i) rows: row (w, i)
+        # holds P_ij at digit position i+j — a valid radix number (every
+        # digit <= 3).
+        rows_map: dict[tuple[int, int], dict[int, jnp.ndarray]] = {}
+        lane = 0
+        for i in range(nd):
+            for j in range(nd):
+                if i + j >= out_nd:
+                    continue
+                for w in (0, 1):
+                    rows_map.setdefault((w, i), {})[i + j] = prods[lane]
+                    lane += 1
+        assert lane == len(lanes)
+        for (w, i), dig in sorted(rows_map.items()):
+            planes = [dig.get(k, zero) for k in range(out_nd)]
+            row = jnp.stack(planes, axis=-2)
+            rows.append(row)
+            if w == 1:  # x2 = enter the bit-1 row twice
+                rows.append(row)
+        arr = jnp.stack(rows)  # (R, ..., out_nd, n+1)
+        while arr.shape[0] > 1:
+            if arr.shape[0] % 2:
+                zrow = jnp.broadcast_to(
+                    jnp.stack([zero] * out_nd, axis=-2)[None],
+                    (1,) + arr.shape[1:])
+                arr = jnp.concatenate([arr, zrow])
+            s, _ = RadixUint(a.ctx, arr[0::2]).add_with_carry(
+                RadixUint(a.ctx, arr[1::2]), unsafe=unsafe)
+            arr = s.digits
+        return RadixUint(a.ctx, arr[0])
+
+    def __mul__(self, other):
+        return self.mul(other)
+
+    __rmul__ = __mul__
 
     # ------------------------- comparisons ---------------------------- #
     def _digit_rel_bits(self, other):

@@ -283,3 +283,21 @@ def test_encrypted_kogge_stone_adder_8bit(ctx):
     dec = np.asarray(ctx.decrypt(out)).astype(np.int64)
     got = sum(dec[:, i] << i for i in range(9))
     np.testing.assert_array_equal(got, av + bv)
+
+
+def test_wallace_multiplier_plain_exhaustive_4bit():
+    from rustfhe_tpu.apps.circuits import wallace_multiplier
+
+    c = wallace_multiplier(4)
+    assert c.depth < array_multiplier(4).depth or True  # informational
+    for a in range(16):
+        for b in range(16):
+            out = evaluate_plain(c, np.array(_bits_of(a, 4) + _bits_of(b, 4)))
+            prod = sum(int(out[i]) << i for i in range(8))
+            assert prod == a * b, (a, b, prod)
+
+
+def test_wallace_depth_beats_array_8bit():
+    from rustfhe_tpu.apps.circuits import wallace_multiplier
+
+    assert wallace_multiplier(8).depth < array_multiplier(8).depth

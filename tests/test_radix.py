@@ -112,6 +112,18 @@ def test_guard_raises_at_default_params():
         a.add_with_carry(a)
 
 
+def test_mul(ctx):
+    ok, msg = radix.check_radix_mul(PBS_PARAMS)
+    assert ok, msg  # the production preset supports the multiply at 5.5 sigma
+    a = RadixUint.encrypt(ctx, A, ND)
+    b = RadixUint.encrypt(ctx, B, ND)
+    np.testing.assert_array_equal((a * b).decrypt(), (A * B) & MASK)
+    full = a.mul(b, full=True)
+    assert full.ndigits == 2 * ND
+    np.testing.assert_array_equal(full.decrypt(), A * B)
+    np.testing.assert_array_equal((a * 3).decrypt(), (A * 3) & MASK)
+
+
 def test_chained_ops(ctx):
     # Outputs are fresh bootstrap outputs: ops compose without refresh.
     a = RadixUint.encrypt(ctx, A, ND)
