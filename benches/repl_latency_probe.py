@@ -46,14 +46,27 @@ ITERS = int(os.environ.get("PROBE_ITERS", "10"))
 
 
 def bench_chained(tag, fn, x0, iters=ITERS):
+    """SLOPE method: K1 vs K2 chained applications, each run ENDING IN A
+    REAL READBACK — `block_until_ready` is not a completion barrier for
+    every program through the relay (BENCH.md round-4 methodology note);
+    the slope removes the transport intercept."""
     x = fn(x0)
-    jax.block_until_ready(x)  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = fn(x)
-    jax.block_until_ready(x)
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{tag}: {dt * 1e3:.1f} ms", flush=True)
+    _ = np.asarray(x[..., :4])  # compile + warm + settle
+    ks = (max(1, iters // 5), iters)
+    times = {}
+    for k in ks:
+        y = fn(x0)
+        _ = np.asarray(y[..., :4])
+        t0 = time.perf_counter()
+        for _i in range(k):
+            y = fn(y)
+        _ = np.asarray(y[..., :4])  # force completion through the relay
+        times[k] = time.perf_counter() - t0
+    k1, k2 = ks
+    dt = (times[k2] - times[k1]) / (k2 - k1)
+    icept = times[k1] - k1 * dt
+    print(f"{tag}: {dt * 1e3:.1f} ms (slope; transport intercept "
+          f"{icept * 1e3:.1f} ms)", flush=True)
     return dt
 
 
@@ -89,13 +102,21 @@ def main():
     bench_chained("dispatch floor (tiny jit)", f_id, c1, iters=20)
 
     # 1+2. per key mode, built and released one at a time (HBM budget).
-    builders = [
-        ("standard", lambda: ck),
-        ("latency (panels)", lambda: keys.cloud_key_panels(ck, P, eng)),
-        ("hybrid", lambda: keys.cloud_key_hybrid(ck, P, eng)),
-        ("hybrid full-panels",
-         lambda: keys.cloud_key_hybrid(ck, P, eng, full_panels=True)),
-    ]
+    # Even serial release can RESOURCE_EXHAUST on the relay allocator
+    # (measured: a second 12.6 GiB panel build fails after the first is
+    # dropped), so PROBE_MODES selects a subset per process run:
+    #   PROBE_MODES=standard,panels  |  PROBE_MODES=hybrid_full  etc.
+    all_builders = {
+        "standard": ("standard", lambda: ck),
+        "panels": ("latency (panels)",
+                   lambda: keys.cloud_key_panels(ck, P, eng)),
+        "hybrid": ("hybrid", lambda: keys.cloud_key_hybrid(ck, P, eng)),
+        "hybrid_full": ("hybrid full-panels",
+                        lambda: keys.cloud_key_hybrid(ck, P, eng,
+                                                      full_panels=True)),
+    }
+    sel = os.environ.get("PROBE_MODES", "standard,panels,hybrid,hybrid_full")
+    builders = [all_builders[k] for k in sel.split(",") if k in all_builders]
     last_ctx = None
     for tag, build in builders:
         t0 = time.perf_counter()
@@ -132,7 +153,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(ITERS):
             assert ev.eval_bit(ast, _nonce=nonce()) == 1
-        print(f"fused 3-gate expr [hybrid full-panels]: "
+        print(f"fused 3-gate expr [{builders[-1][0]}]: "
               f"{(time.perf_counter() - t0) / ITERS * 1e3:.1f} ms", flush=True)
 
 

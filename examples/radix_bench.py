@@ -48,8 +48,11 @@ def main():
     assert ok_r
 
     t0 = time.perf_counter()
-    ctx = TFHE.new(jax.random.PRNGKey(11), p,
-                   os.environ.get("RUSTFHE_ENGINE") or None)
+    # engine_name=None -> select_fast_engine: honors RUSTFHE_ENGINE but
+    # still runs the on-device exactness probe AT THIS PRESET (l=4,
+    # N=2048 — the fused kernel's digit-sum bound is exactly at its
+    # 128 limit here, so the probe is not optional).
+    ctx = TFHE.new(jax.random.PRNGKey(11), p, None)
     print(f"# keygen {time.perf_counter() - t0:.1f}s "
           f"(engine {ctx.engine_name})", flush=True)
     rng = np.random.default_rng(5)

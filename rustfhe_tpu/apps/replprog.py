@@ -103,10 +103,23 @@ class FusedEvaluator:
         self.width = width
         self.max_wires = max_wires
         p = ctx.params
+        mw = max_wires
         engine = resolve_engine(ctx.engine_name)
         mu = p.mu
 
-        def level_fn(bk, ksk, wires, ia, ib, iout, coeffs):
+        def init_wires(leaves, nonce):
+            # leaves (MW,) uint32 in {0, 1, 2}: 0/1 = trivial leaf bit,
+            # 2 = unused wire.  Built IN-PROGRAM so a dispatch uploads a
+            # few hundred bytes, not a (MW, n+1) wire file — the relay
+            # charges ~tens of ms for host->device array pushes.
+            body = jnp.where(leaves == 1, U32(0x20000000),
+                             jnp.where(leaves == 0, U32(0xE0000000), U32(0)))
+            wires = jnp.zeros((mw, p.n + 1), U32).at[:, 0].set(body)
+            # nonce (n,) lands in the trash wire's mask: result-neutral
+            # cache busting for latency probes.
+            return wires.at[mw - 1, 1:].set(nonce)
+
+        def level_body(bk, ksk, wires, ia, ib, iout, coeffs):
             # wires (MW, n+1); ia/ib/iout (W,) int32; coeffs (W, 3) uint32
             from ..keys import CloudKey
 
@@ -117,7 +130,7 @@ class FusedEvaluator:
             out = bootstrap(pre, CloudKey(bk=bk, ksk=ksk), p, engine)
             return wires.at[iout].set(out)
 
-        def final_fn(bk, sk1, wires, iab, coeff):
+        def final_body(bk, sk1, wires, iab, coeff):
             # iab (2,) int32; coeff (3,) uint32 -> decrypted bit (scalar)
             xa = wires[iab[0]]
             xb = wires[iab[1]]
@@ -127,8 +140,22 @@ class FusedEvaluator:
             lv1 = gate_bootstrapping_tlwe2tlwe(pre, bk, p, engine)
             return tlwe.decrypt_binary(lv1, sk1)
 
-        self._level = jax.jit(level_fn, donate_argnums=(2,))
-        self._final = jax.jit(final_fn)
+        def first_level_fn(bk, ksk, leaves, nonce, ia, ib, iout, coeffs):
+            return level_body(bk, ksk, init_wires(leaves, nonce),
+                              ia, ib, iout, coeffs)
+
+        def single_gate_fn(bk, sk1, leaves, nonce, iab, coeff):
+            return final_body(bk, sk1, init_wires(leaves, nonce), iab, coeff)
+
+        # Four programs, each compiled once per session: a depth-1
+        # expression is exactly ONE dispatch of single_gate_fn with
+        # byte-sized operands; deeper expressions run first_level once,
+        # then level (wires stay device-resident between dispatches),
+        # then final.
+        self._first_level = jax.jit(first_level_fn)
+        self._single_gate = jax.jit(single_gate_fn)
+        self._level = jax.jit(level_body, donate_argnums=(2,))
+        self._final = jax.jit(final_body)
 
     # ------------------------------------------------------------------ #
     def _plan(self, expr):
@@ -191,16 +218,21 @@ class FusedEvaluator:
             return int(plan[1])
         _, leaf_bits, n_inputs, plans, (iab, coeff) = plan
         p = self.ctx.params
-        # Host-built wire file: trivial leaf ciphertexts are just constant
-        # bodies (+-1/8) — zero device encode round trips.
-        wires_np = np.zeros((self.max_wires, p.n + 1), np.uint32)
-        for i, bit in enumerate(leaf_bits):
-            wires_np[i, 0] = 0x20000000 if bit else 0xE0000000
-        if _nonce is not None:
-            wires_np[-1, 1:] = np.asarray(_nonce, np.uint32)
-        wires = jnp.asarray(wires_np)
+        # Leaf encodings travel as a (MW,) byte vector; the wire file is
+        # built in-program (see init_wires) so no large host->device push
+        # happens on the latency path.
+        leaves = np.full(self.max_wires, 2, np.uint32)
+        leaves[: len(leaf_bits)] = np.asarray(leaf_bits, np.uint32)
+        nonce = (np.zeros(p.n, np.uint32) if _nonce is None
+                 else np.asarray(_nonce, np.uint32))
         ck = self.ctx.ck
-        for ia, ib, io, cs in plans:
+        if not plans:  # depth-1: one dispatch, byte-sized operands
+            bit = self._single_gate(ck.bk, self.ctx.sk.lv1, leaves, nonce,
+                                    iab, coeff)
+            return int(jax.block_until_ready(bit))
+        ia, ib, io, cs = plans[0]
+        wires = self._first_level(ck.bk, ck.ksk, leaves, nonce, ia, ib, io, cs)
+        for ia, ib, io, cs in plans[1:]:
             wires = self._level(ck.bk, ck.ksk, wires, ia, ib, io, cs)
         bit = self._final(ck.bk, self.ctx.sk.lv1, wires, iab, coeff)
         return int(jax.block_until_ready(bit))

@@ -63,6 +63,17 @@ def blind_rotate(ct, bk_prepared, testvec, params: TFHEParams, engine) -> jnp.nd
 
     from .keys import HybridBK
 
+    # Latency fast path: a panel-form key + small batch runs the WHOLE
+    # rotation as one kernel launch with pipelined panel DMA
+    # (engine.rotate_all_steps; returns None when inapplicable).
+    if not isinstance(bk_prepared, HybridBK):
+        ra = getattr(engine, "rotate_all_steps", None)
+        if ra is not None:
+            full = ra(bk_prepared, acc, a_steps, params)
+            if full is not None:
+                exit_ = getattr(engine, "scan_exit", None)
+                return exit_(full, params) if exit_ is not None else full
+
     if isinstance(bk_prepared, HybridBK):
         # Hybrid mode (keys.cloud_key_hybrid): 2-step fused pairs with the
         # odd step's panel table prebuilt, then the standard tail.

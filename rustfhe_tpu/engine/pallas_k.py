@@ -320,6 +320,140 @@ def fused_cmux_step_k(acc_flat, a_tilde, panels, *, params, levels=1,
 
 
 # --------------------------------------------------------------------- #
+# Single-launch latency rotation: ALL n steps in one kernel, panel blocks
+# auto-pipelined by the Pallas grid (the B=1 lever — see rotate_all_steps)
+# --------------------------------------------------------------------- #
+def _kernel_rotate_all(pan_ref, acc_in_ref, n_ref, o_ref, *, params, levels,
+                       num_limbs, limb_bits, tb, tm):
+    step = pl.program_id(1)  # steps are the INNER grid dim (acc persists)
+    R = 1 << levels
+    T = 3 ** levels
+    ns = params.N // R
+    lvls = params.l
+    mask = U32(params.decomp_mask)
+
+    @pl.when(step == 0)
+    def _():
+        o_ref[:, :] = acc_in_ref[:, :]
+
+    acc = o_ref[:, :]  # carried across the sequential step grid in VMEM
+    # n_ref holds the WHOLE (tb, n_steps) schedule (TPU block rules forbid
+    # a (tb, 1) block, and Mosaic cannot prove a dynamic lane offset is
+    # 128-aligned); this step's column comes out via a masked reduction —
+    # a trivially vectorized (tb, n_steps) pass.
+    n_all = n_ref[:, :]
+    col = jax.lax.broadcasted_iota(I32, n_all.shape, 1)
+    n_col = jnp.sum(jnp.where(col == step, n_all, 0), axis=1,
+                    keepdims=True)  # (tb, 1) int32
+    rot = _rotate_res_inkernel(acc, n_col, ns, levels)
+    diff = (rot - acc).astype(U32)
+    u = (diff + mask) ^ mask
+    ui = jax.lax.bitcast_convert_type(u, I32)
+    dig_planes = []
+    for lv in range(lvls):
+        dig_planes.append((ui << I32(params.bgbit * lv)) >> I32(32 - params.bgbit))
+    dj = []
+    for p in (0, 1):
+        base = R * p * ns
+        for lv in range(lvls):
+            d = dig_planes[lv]
+            res = [d[:, base + i * ns : base + (i + 1) * ns] for i in range(R)]
+            planes = tree_planes(res, lambda a, b: a + b)
+            dj.append([x.astype(I8) for x in planes])
+
+    new_segs = []
+    for c in (0, 1):
+        leaves = []
+        for t in range(T):
+            leaf = None
+            for l in range(num_limbs):
+                part = jnp.zeros((tb, ns), I32)
+                for j in range(2 * lvls):
+                    r0 = ((j * num_limbs + l) * T + t) * tm
+                    for mb in range(ns // tm):
+                        d_blk = dj[j][t][:, mb * tm : (mb + 1) * tm]
+                        col0 = (ns - tm) - mb * tm
+                        w_blk = pan_ref[0, c, r0 : r0 + tm, col0 : col0 + ns]
+                        part += jnp.dot(d_blk, w_blk, preferred_element_type=I32)
+                contrib = part.astype(U32) if l == 0 else (
+                    part.astype(U32) << U32(limb_bits * l)
+                )
+                leaf = contrib if leaf is None else leaf + contrib
+            leaves.append(leaf)
+        outs = tree_combine(leaves, lambda v: _shiftz1_u32(v, ns))
+        for i in range(R):
+            seg = slice((R * c + i) * ns, (R * c + i + 1) * ns)
+            new_segs.append(acc[:, seg] + outs[i])
+    for gi in range(2 * R):
+        o_ref[:, gi * ns : (gi + 1) * ns] = new_segs[gi]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "levels", "num_limbs", "limb_bits", "tb", "tm",
+                     "interpret"),
+)
+def fused_rotate_all_k(acc_flat, a_tilde, panels_all, *, params, levels=1,
+                       num_limbs=4, limb_bits=8, tb=128, tm=TM,
+                       interpret=False):
+    """The ENTIRE n-step blind rotation as ONE kernel launch: the grid
+    iterates the (sequential) steps, the accumulator stays resident in
+    the revisited output block in VMEM, and each step's panel table block
+    streams from HBM with the Pallas grid pipeline — the next step's
+    ~21 MB panel DMA overlaps the current step's compute instead of being
+    a synchronous per-step wait (the small-batch latency floor: at B=1
+    the per-step DMA wait + kernel launch were ~60% of the 40 ms
+    bootstrap; see benches/repl_latency_probe.py).
+
+    Batches over one tile run as an OUTER batch-tile grid dimension (steps
+    stay innermost so the revisited output block keeps the accumulator in
+    VMEM); each tile re-streams the panel sequence, which stays overlapped
+    — per tile the 26 us/step panel DMA ~= the 128-lane step compute, so
+    multi-tile throughput holds while the latency floor applies at any
+    batch.
+
+    acc_flat (B, 2N) u32 residue layout with B a multiple of tb (pad
+    outside); a_tilde (B, n_steps) int32 in [0, 2N); panels_all
+    (n_steps, 2, rows, width) int8 from prepare_panels.  Returns the
+    rotated accumulator (B, 2N).
+    """
+    B = acc_flat.shape[0]
+    n_steps = panels_all.shape[0]
+    T = 3 ** levels
+    ns = params.N >> levels
+    rows = 2 * params.l * num_limbs * T * tm
+    width = 2 * ns - tm
+    assert B % tb == 0, (B, tb)
+    assert panels_all.shape == (n_steps, 2, rows, width), panels_all.shape
+    assert a_tilde.shape == (B, n_steps), a_tilde.shape
+
+    vma = (jax.typeof(acc_flat).vma | jax.typeof(a_tilde).vma
+           | jax.typeof(panels_all).vma)
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_rotate_all, params=params, levels=levels,
+            num_limbs=num_limbs, limb_bits=limb_bits, tb=tb, tm=tm,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 2 * params.N), U32, vma=vma),
+        grid=(B // tb, n_steps),
+        in_specs=[
+            pl.BlockSpec((1, 2, rows, width), lambda b, s: (s, 0, 0, 0)),
+            pl.BlockSpec((tb, 2 * params.N), lambda b, s: (b, 0)),
+            pl.BlockSpec((tb, n_steps), lambda b, s: (b, 0)),
+        ],
+        out_specs=pl.BlockSpec((tb, 2 * params.N), lambda b, s: (b, 0)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * 2 * (2 * params.l) * num_limbs * T * ns * ns
+            * n_steps,
+            bytes_accessed=n_steps * 2 * rows * width + B * 2 * params.N * 4 * 2,
+            transcendentals=0,
+        ),
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(panels_all, acc_flat, a_tilde.astype(I32))
+
+
+# --------------------------------------------------------------------- #
 # Standalone external product kernel (digits precomputed, residue in/out)
 # --------------------------------------------------------------------- #
 def _kernel_extprod_k(w_hbm, d_ref, o_ref, w_vmem, sem, *, params, levels,
@@ -515,6 +649,40 @@ class PallasKaratsubaEngine:
         panels = self._panels_of(prepared, params)
         out = fused_cmux_step_k(
             a2, n2, panels, params=params, levels=self.levels,
+            num_limbs=self.num_limbs, limb_bits=self.limb_bits, tb=self.tb,
+            tm=self.tm, interpret=self.interpret,
+        )
+        if pad:
+            out = out[: out.shape[0] - pad]
+        return out.reshape(lead + (2 * params.N,))
+
+    def rotate_all_steps(self, bk_prepared, acc_flat, a_steps, params):
+        """Single-launch blind rotation over ALL steps (fused_rotate_all_k)
+        — the small-batch latency path.  Requires a latency-mode key
+        (panel-form BK with a leading step axis, keys.cloud_key_panels)
+        and a flattened batch <= tb; returns None otherwise so the caller
+        falls back to the per-step scan (whose per-step panel build is
+        overlapped at large batches anyway)."""
+        ns = params.N >> self.levels
+        if not (hasattr(bk_prepared, "ndim") and bk_prepared.ndim == 4
+                and bk_prepared.shape[-1] == 2 * ns - self.tm):
+            return None  # not a panel-form latency key
+        lead = acc_flat.shape[:-1]
+        n_steps = bk_prepared.shape[0]
+        a2 = acc_flat.reshape((-1, 2 * params.N))
+        n2 = jnp.moveaxis(a_steps, 0, -1).reshape((-1, n_steps))
+        if a2.shape[0] > 32 * self.tb:
+            # Each tile re-streams the 13.5 GB panel sequence; past ~32
+            # tiles the per-step scan (panels built once per step for the
+            # WHOLE batch) wins on HBM traffic — measured crossover
+            # B ~ 4-8k (BENCH.md round 4).
+            return None
+        pad = (-a2.shape[0]) % self.tb
+        if pad:
+            a2 = jnp.pad(a2, ((0, pad), (0, 0)))
+            n2 = jnp.pad(n2, ((0, pad), (0, 0)))
+        out = fused_rotate_all_k(
+            a2, n2, bk_prepared, params=params, levels=self.levels,
             num_limbs=self.num_limbs, limb_bits=self.limb_bits, tb=self.tb,
             tm=self.tm, interpret=self.interpret,
         )

@@ -41,6 +41,7 @@ _SLOW_TESTS = {
     "test_production_dims.py::test_identity_key_switch_production_dims",
     "test_poly.py::test_pallas_k2_interpret_exact",
     "test_poly.py::test_pallas_k_hybrid_mode_bit_exact",
+    "test_poly.py::test_rotate_all_steps_latency_kernel_bit_exact",
     "test_poly.py::test_pallas_k_cmux_step_interpret_exact",
     "test_poly.py::test_pallas_k_extprod_interpret_exact",
     "test_poly.py::test_pallas_fused_cmux_step_interpret_exact",

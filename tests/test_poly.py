@@ -439,6 +439,38 @@ def test_pallas_k_hybrid_mode_bit_exact():
     assert np.array_equal(np.asarray(got_f), np.asarray(ref))
 
 
+def test_rotate_all_steps_latency_kernel_bit_exact():
+    """Single-launch latency rotation (fused_rotate_all_k: all n steps in
+    one kernel, panel blocks pipelined by the grid) must match the
+    per-step scan bit-for-bit through a full gate — single-tile AND
+    multi-tile (batch-tile outer grid dim) forms."""
+    from rustfhe_tpu import gates, keys as rkeys, tlwe as rtlwe
+    from rustfhe_tpu.engine.pallas_k import PallasKaratsubaEngine
+
+    params = TFHEParams(n=13, N=256, alpha_lv0=2.0**-20, alpha_lv1=2.0**-28)
+    eng = PallasKaratsubaEngine(interpret=True, tb=8, levels=1)
+    kg, ke = jax.random.split(jax.random.PRNGKey(29))
+    sk, ck = rkeys.gen_keys(kg, params, engine_name=eng)
+    ck_lat = rkeys.cloud_key_panels(ck, params, eng)
+    assert ck_lat.bk.ndim == 4  # panel form with the step axis leading
+
+    bits = jnp.zeros((4,), U32).at[1::2].set(1)
+    cx = rtlwe.encrypt_binary(jax.random.fold_in(ke, 0), sk.lv0, bits, params)
+    cy = rtlwe.encrypt_binary(jax.random.fold_in(ke, 1), sk.lv0, 1 - bits,
+                              params)
+    ref = gates.hom_nand(ck, cx, cy, params=params, engine_name=eng)
+    got = gates.hom_nand(ck_lat, cx, cy, params=params, engine_name=eng)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+    big = jnp.zeros((16,), U32).at[1::2].set(1)  # 16 = 2 tiles of tb=8
+    cx2 = rtlwe.encrypt_binary(jax.random.fold_in(ke, 2), sk.lv0, big, params)
+    cy2 = rtlwe.encrypt_binary(jax.random.fold_in(ke, 3), sk.lv0, 1 - big,
+                               params)
+    ref2 = gates.hom_nand(ck, cx2, cy2, params=params, engine_name=eng)
+    got2 = gates.hom_nand(ck_lat, cx2, cy2, params=params, engine_name=eng)
+    assert np.array_equal(np.asarray(got2), np.asarray(ref2))
+
+
 def test_cloud_key_hybrid_noop_for_engines_without_pair_step():
     import jax as _jax
     from rustfhe_tpu import keys as rkeys
