@@ -177,16 +177,28 @@ def make_step(panels, a_tilde, ablate):
 
 
 def chain(name, step_fn, x0):
+    """SLOPE over readback-forced runs of the STEPS-step jitted loop
+    (BENCH.md round-4 methodology: block_until_ready alone is not a
+    completion barrier through the relay)."""
+
     @jax.jit
     def run(a):
         def body(i, a):
             return step_fn(a)
         return jax.lax.fori_loop(0, STEPS, body, a)
 
-    out = jax.block_until_ready(run(x0))  # compile
-    t0 = time.perf_counter()
-    out = jax.block_until_ready(run(out))
-    dt = (time.perf_counter() - t0) / STEPS
+    out = run(x0)
+    _ = np.asarray(out[:1, :4])  # compile + settle
+    times = {}
+    for k in (1, 4):
+        y = run(x0)
+        _ = np.asarray(y[:1, :4])
+        t0 = time.perf_counter()
+        for _i in range(k):
+            y = run(y)
+        _ = np.asarray(y[:1, :4])
+        times[k] = time.perf_counter() - t0
+    dt = (times[4] - times[1]) / (3 * STEPS)
     print(f"{name}: {dt * 1e3:.3f} ms/step", flush=True)
     return dt
 
