@@ -16,7 +16,7 @@ from . import torus, tlwe, trlwe, trgsw, decomp, poly, bootstrap, gates, pbs
 from . import radix
 from .context import TFHE
 from .ints import FheUint, FheInt
-from .radix import RadixUint
+from .radix import RadixUint, RadixInt
 
 __version__ = "0.1.0"
 
@@ -38,6 +38,7 @@ __all__ = [
     "FheUint",
     "FheInt",
     "RadixUint",
+    "RadixInt",
     "radix",
     "torus",
     "tlwe",

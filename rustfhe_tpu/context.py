@@ -170,6 +170,12 @@ class TFHE:
 
         return RadixUint.trivial(self, values, ndigits)
 
+    def encrypt_radix_signed(self, values, ndigits: int):
+        """Signed (two's complement) radix integers (radix.RadixInt)."""
+        from .radix import RadixInt
+
+        return RadixInt.encrypt(self, values, ndigits)
+
     # ------------------ programmable bootstrapping -------------------- #
     def encrypt_int(self, x, space: int):
         """Encrypt ints in [0, space) (padding-bit encoding; pbs.py)."""

@@ -162,12 +162,14 @@ class RadixUint:
     def _coerce(self, other) -> tuple["RadixUint", "RadixUint"]:
         if isinstance(other, (int, np.integer)):
             val = int(other) & ((1 << self.width) - 1)
-            other = RadixUint.trivial(
+            other = type(self).trivial(
                 self.ctx, np.full(self.batch_shape, val, np.uint64),
                 self.ndigits)
         if not isinstance(other, RadixUint):
             raise TypeError(
                 f"operand must be RadixUint or int, got {type(other).__name__}")
+        if isinstance(self, RadixInt) != isinstance(other, RadixInt):
+            raise TypeError("cannot mix RadixUint and RadixInt operands")
         if other.ndigits != self.ndigits:
             raise ValueError(
                 f"digit-count mismatch: {self.ndigits} vs {other.ndigits}")
@@ -360,7 +362,9 @@ class RadixUint:
             s, _ = RadixUint(a.ctx, arr[0::2]).add_with_carry(
                 RadixUint(a.ctx, arr[1::2]), unsafe=unsafe)
             arr = s.digits
-        return RadixUint(a.ctx, arr[0])
+        # _like preserves the signed/unsigned class (truncated product
+        # bits are sign-agnostic; only the decrypt interpretation differs).
+        return a._like(arr[0])
 
     def __mul__(self, other):
         return self.mul(other)
@@ -421,6 +425,29 @@ class RadixUint:
 
     def ne(self, other):
         return tlwe.neg(self.eq(other))
+
+    # -------------------------- selection ----------------------------- #
+    def select(self, cond, other) -> "RadixUint":
+        """cond ? self : other with an encrypted GATE bit condition.
+
+        PBS digits cannot be multiplied by a ciphertext directly, so the
+        select routes through the bit world: both operands' digits bridge
+        to gate-encoded bits (one PBS level, batched), the mux runs on
+        bits (two gate levels), and the result bridges back (one PBS
+        level) — 4 bootstrap levels total, every lookup at the add path's
+        margin."""
+        a, b = self._coerce(other)
+        xa, xb = a.to_bits(), b.to_bits()
+        sel = xa.select(cond, xb)
+        return type(a).from_bits(sel, ndigits=a.ndigits)
+
+    def min_(self, other):
+        a, b = self._coerce(other)
+        return a.select(a.lt(b), b)
+
+    def max_(self, other):
+        a, b = self._coerce(other)
+        return a.select(a.gt(b), b)
 
     # ----------------------- bit-world bridges ------------------------ #
     def to_bits(self):
@@ -483,3 +510,64 @@ class RadixUint:
                 d = (b0 + U32(2) * b1).astype(U32)
             digs.append(d)
         return cls(ctx, jnp.stack(digs, axis=-2))
+
+
+class RadixInt(RadixUint):
+    """Encrypted SIGNED integer (two's complement over ``2 * ndigits``
+    bits) in radix form.
+
+    Wrapping add/sub/neg and the TRUNCATED multiply are digit-identical
+    to the unsigned case (inherited); comparisons map signed order onto
+    unsigned order by flipping the top digit's high bit — one extra
+    2-lane PBS level (the flip ``x ^ 2`` is not linear on PBS digits);
+    ``abs_`` routes through the bit bridge.  The full-width product
+    raises: sign extension of radix digits is data-dependent (it would
+    silently compute the unsigned product otherwise — the FheInt.mul_full
+    lesson)."""
+
+    @staticmethod
+    def _to_digits(values, ndigits: int) -> jnp.ndarray:
+        v = np.asarray(values)
+        if np.issubdtype(v.dtype, np.signedinteger):
+            v = v.astype(np.int64).view(np.uint64) & np.uint64(
+                (1 << (MSG_BITS * ndigits)) - 1)
+        return RadixUint._to_digits(v, ndigits)
+
+    def decrypt(self):
+        val = super().decrypt()
+        w = self.width
+        sign = (val >> np.uint64(w - 1)) & np.uint64(1)
+        return (val.astype(np.int64)
+                - (sign.astype(np.int64) << np.int64(w)))
+
+    def _like(self, digits) -> "RadixInt":
+        return RadixInt(self.ctx, digits)
+
+    def _bias_top(self):
+        """Flip the top digit's high bit (x ^ 2) with one 1-lane PBS:
+        maps two's-complement order onto unsigned order."""
+        x = np.arange(SPACE, dtype=np.uint32)
+        tab = np.where(x < MSG_MOD, x ^ 2, x)  # identity on carry range
+        top = self._pbs_level(self.digits[None, ..., -1, :],
+                              tab[None])[0]
+        return self._like(jnp.concatenate(
+            [self.digits[..., :-1, :], top[..., None, :]], axis=-2))
+
+    def _compare(self, other):
+        a, b = self._coerce(other)
+        return RadixUint._compare(a._bias_top(), b._bias_top())
+
+    def mul(self, other, *, full: bool = False, unsafe: bool = False):
+        if full:
+            raise NotImplementedError(
+                "signed full-width radix product needs data-dependent sign "
+                "extension; bridge to FheInt (to_bits) for it")
+        return super().mul(other, full=False, unsafe=unsafe)
+
+    def abs_(self):
+        bits = self.to_bits()
+        from .ints import FheInt
+
+        sbits = FheInt(self.ctx, bits.bits)
+        return type(self).from_bits(FheInt(self.ctx, sbits.abs_().bits),
+                                    ndigits=self.ndigits)

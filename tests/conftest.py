@@ -65,6 +65,9 @@ _SLOW_TESTS = {
     "test_bench_smoke.py::test_bench_harness_end_to_end",
     "test_serialization.py::test_cloud_key_and_ciphertext_round_trip",
     "test_trgsw.py::test_cmux_selects_n512",
+    "test_radix.py::test_signed_radix",
+    "test_radix.py::test_mul",
+    "test_radix.py::test_unsigned_select_min_max",
 }
 
 

@@ -130,3 +130,44 @@ def test_chained_ops(ctx):
     b = RadixUint.encrypt(ctx, B, ND)
     c = (a + b) - b
     np.testing.assert_array_equal(c.decrypt(), A)
+
+
+AS = np.array([-32, -1, 0, 5, 31, -17], np.int64)
+BS = np.array([3, -1, -32, 6, -31, 20], np.int64)
+_wrap = lambda v: ((v + 32) & 63) - 32
+
+
+def test_signed_radix(ctx):
+    from rustfhe_tpu.radix import RadixInt
+
+    a = RadixInt.encrypt(ctx, AS, ND)
+    b = RadixInt.encrypt(ctx, BS, ND)
+    np.testing.assert_array_equal(a.decrypt(), AS)
+    np.testing.assert_array_equal((a + b).decrypt(), _wrap(AS + BS))
+    np.testing.assert_array_equal((a - b).decrypt(), _wrap(AS - BS))
+    np.testing.assert_array_equal((a * b).decrypt(), _wrap(AS * BS))
+    np.testing.assert_array_equal((a + (-5)).decrypt(), _wrap(AS - 5))
+    dec = lambda ct: np.asarray(ctx.decrypt(ct), np.uint64)
+    np.testing.assert_array_equal(dec(a.lt(b)), AS < BS)
+    np.testing.assert_array_equal(dec(a.ge(b)), AS >= BS)
+    np.testing.assert_array_equal(a.max_(b).decrypt(),
+                                  np.maximum(_wrap(AS), _wrap(BS)))
+    np.testing.assert_array_equal(a.abs_().decrypt(), _wrap(np.abs(AS)))
+
+
+def test_signed_radix_guards(ctx):
+    from rustfhe_tpu.radix import RadixInt
+
+    a = RadixInt.encrypt(ctx, AS[:1], ND)
+    u = RadixUint.encrypt(ctx, np.array([1], np.uint64), ND)
+    with pytest.raises(NotImplementedError):
+        a.mul(a, full=True)
+    with pytest.raises(TypeError, match="cannot mix"):
+        a + u
+
+
+def test_unsigned_select_min_max(ctx):
+    a = RadixUint.encrypt(ctx, A, ND)
+    b = RadixUint.encrypt(ctx, B, ND)
+    np.testing.assert_array_equal(a.min_(b).decrypt(), np.minimum(A, B))
+    np.testing.assert_array_equal(a.max_(b).decrypt(), np.maximum(A, B))
