@@ -56,12 +56,14 @@ def main():
         DEFAULT_PARAMS,
         FAST_PARAMS,
         N2048_PARAMS,
+        PBS_PARAMS,
         TEST_PARAMS,
     )
 
     p = {
         "default": DEFAULT_PARAMS,
         "n2048": N2048_PARAMS,
+        "pbs": PBS_PARAMS,  # the PBS/radix-tuned preset (space-8 sound)
         "fast": FAST_PARAMS,
         "test": TEST_PARAMS,  # CPU smoke runs of the bench logic itself
     }[os.environ.get("BENCH_PARAMS", "default")]

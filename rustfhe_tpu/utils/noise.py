@@ -60,6 +60,20 @@ benches/noise_calibration_probe.py + BENCH.md):
    break anchor 1: FAST would then predict ~2x the failures measured, so
    the excess is NOT of the eps^2 gadget-rounding form; it is recorded
    empirically rather than attributed.)
+4. direct output-phase measurement at the PBS preset (params.PBS_PARAMS:
+   N=2048, n=714, l=4) — identity-LUT PBS, TPU, B=65536, 2026-08-21:
+   measured phase-error std 7.5e-4 vs 2.02e-3 predicted (uninflated) —
+   the model is ~2.7x CONSERVATIVE in sigma at this preset (vs ~1.6x
+   optimistic at the DEFAULT set, anchor 3; the sign flips because the
+   dominant term differs: here it is the modulus-switch drift, whose
+   (n+1)-term accounting ignores that only the s_i = 1 coefficients'
+   rounding errors reach the phase — binary secrets thin it ~2x — while
+   anchor 3's unattributed excess lives elsewhere).  True space-8 margin
+   at the preset: 41.6 sigma (0/65536 beyond the half-bucket).  The
+   model verdicts therefore carry LARGE real headroom at PBS_PARAMS;
+   they are kept as the API gates because conservative-at-the-preset /
+   calibrated-at-the-default is the safe direction on both measured
+   axes.
 """
 
 from __future__ import annotations
