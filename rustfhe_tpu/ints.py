@@ -409,40 +409,65 @@ class FheUint:
 def from_pbs_int(ctx, ct, space: int, *, unsafe: bool = False) -> FheUint:
     """Bridge a PBS-domain encrypted integer into the bit world: decompose
     ``ct`` (padding-bit encoding of x in [0, space), see pbs.py) into a
-    ``FheUint`` of width log2(space) — ALL bit planes from ONE blind
-    rotation (multi-output PBS with raw gate-encoded ±mu tables).
+    ``FheUint`` of width log2(space) via multi-output PBS with raw
+    gate-encoded ±mu tables.
+
+    The multi-output degree ``t`` is chosen ADAPTIVELY: the largest power
+    of two whose t²-scaled modulus-switch drift passes the calibrated
+    noise check at ``ctx.params`` (``pbs.check_pbs_many``; t=1 falls back
+    to ``check_pbs_space``), and the bit planes split into
+    ``ceil(width / t)`` rotations — e.g. at ``params.PBS_PARAMS`` a
+    space-8 integer decomposes in 2 rotations of t=2 at a >= 5-sigma
+    margin, where a single t=4 rotation would sit at ~2.6 calibrated
+    sigma.  If even t=1 fails the space check, raises unless
+    ``unsafe=True`` (which also restores the single-rotation maximal-t
+    form for borderline-margin measurements).
 
     The result's bits are fresh gate-encoded ciphertexts, so the full
-    integer/circuit API composes on them; cost = one bootstrap total.
-
-    The (space, t) noise margin is vetted with the measured-calibrated
-    model (``pbs.check_pbs_many``) and a below-threshold margin RAISES —
-    wrong encrypted bits are silent otherwise.  ``unsafe=True`` overrides
-    (e.g. for measuring a borderline combination on device).
+    integer/circuit API composes on them.
     """
     from . import pbs as _pbs
 
     w = space.bit_length() - 1
     assert space == 1 << w, f"space must be a power of two, got {space}"
-    t = 1 << max(0, (w - 1)).bit_length() if w > 1 else 1  # pad to pow2
-    ok, msg = _pbs.check_pbs_many(ctx.params, space, t)
-    if not ok and not unsafe:
-        raise ValueError(
-            f"from_pbs_int margin below threshold at this parameter set "
-            f"({msg}); use a PBS-tuned preset (params.PBS_PARAMS) or pass "
-            f"unsafe=True to override"
-        )
+    t_full = 1 << max(0, (w - 1)).bit_length() if w > 1 else 1  # pad to pow2
+    if unsafe:
+        t = t_full
+    else:
+        t = 0
+        cand = t_full
+        while cand >= 1:
+            ok, msg = (_pbs.check_pbs_many(ctx.params, space, cand)
+                       if cand > 1 else _pbs.check_pbs_space(ctx.params, space))
+            if ok:
+                t = cand
+                break
+            cand >>= 1
+        if t == 0:
+            raise ValueError(
+                f"from_pbs_int margin below threshold at this parameter set "
+                f"even at t=1 ({msg}); use a PBS-tuned preset "
+                f"(params.PBS_PARAMS) or pass unsafe=True to override"
+            )
     mu = ctx.params.mu
     neg_mu = (-mu) & 0xFFFFFFFF
-    tabs = np.array(
-        [[(mu if (x >> j) & 1 else neg_mu) for x in range(space)]
-         for j in range(w)]
-        + [[0] * space] * (t - w),
-        np.uint32,
-    )
-    out = _pbs.pbs_many(ctx.ck, ct, jnp.asarray(tabs), space=space, raw=True,
-                        params=ctx.params, engine_name=ctx.engine_name)
-    return FheUint(ctx, out[..., :w, :])
+    bit_tab = [[(mu if (x >> j) & 1 else neg_mu) for x in range(space)]
+               for j in range(w)]
+    planes = []
+    for j0 in range(0, w, t):
+        chunk = bit_tab[j0 : j0 + t]
+        pad = t - len(chunk)
+        tabs = np.array(chunk + [[0] * space] * pad, np.uint32)
+        if t == 1:
+            out = _pbs.pbs(ctx.ck, ct, jnp.asarray(tabs[0]), space=space,
+                           raw=True, params=ctx.params,
+                           engine_name=ctx.engine_name)[..., None, :]
+        else:
+            out = _pbs.pbs_many(ctx.ck, ct, jnp.asarray(tabs), space=space,
+                                raw=True, params=ctx.params,
+                                engine_name=ctx.engine_name)
+        planes.append(out[..., : len(chunk), :])
+    return FheUint(ctx, jnp.concatenate(planes, axis=-2))
 
 
 class FheInt(FheUint):

@@ -171,3 +171,21 @@ def test_unsigned_select_min_max(ctx):
     b = RadixUint.encrypt(ctx, B, ND)
     np.testing.assert_array_equal(a.min_(b).decrypt(), np.minimum(A, B))
     np.testing.assert_array_equal(a.max_(b).decrypt(), np.maximum(A, B))
+
+
+def test_adaptive_from_pbs_int(ctx):
+    # At PBS_TEST_PARAMS the t=2/t=4 drift fails the calibrated check but
+    # t=1 passes: the bridge must split into per-bit rotations and decode
+    # a space-8 integer without an unsafe override.
+    import jax.numpy as jnp
+
+    from rustfhe_tpu import pbs
+
+    assert not pbs.check_pbs_many(PBS_TEST_PARAMS, 8, 2)[0]
+    assert pbs.check_pbs_space(PBS_TEST_PARAMS, 8)[0]
+    xs = np.array([0, 3, 5, 7, 4, 1], np.uint32)
+    ct = ctx.encrypt_int(jnp.asarray(xs), 8)
+    u = ctx.int_to_uint(ct, 8)
+    assert u.width == 3
+    np.testing.assert_array_equal(u.decrypt(), xs)
+    np.testing.assert_array_equal((u + 1).decrypt(), (xs + 1) & 7)
