@@ -122,7 +122,10 @@ def main():
         xs_b = jnp.asarray(rng.integers(0, space_b, size=(B,)), U32)
         ct_b = ctx.encrypt_int(xs_b, space_b)
         # unsafe=True: this section IS the borderline-margin device
-        # measurement (4.2 predicted sigma < the 5-sigma API gate).
+        # measurement of the single-rotation t=2 form (4.2 predicted sigma
+        # < the 5-sigma API gate).  Without the override the bridge now
+        # splits adaptively into per-bit rotations that each pass the
+        # check (ints.from_pbs_int round 4).
         u = ctx.int_to_uint(ct_b, space_b, unsafe=True)
         got = np.asarray(u.decrypt())
         n_ok = int(np.sum(got == np.asarray(xs_b)))

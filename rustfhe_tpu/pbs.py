@@ -30,6 +30,11 @@ decoded correctly), while space=8's 1/32 bucket is a ~2.9-sigma margin —
 18/4096 wrong lookups — so the reference parameter set supports 2-bit PBS
 soundly and 3-bit only at a ~0.4% error rate (anchor 3 of utils/noise.py;
 ``check_pbs_space`` applies the measured calibration and flags space=8).
+For sound wider-space PBS use the PBS-TUNED preset ``params.PBS_PARAMS``
+(N=2048, n=714, l=4): space=8 at 9.7 calibrated sigma — device-validated
+65536/65536 at round 4, with a direct phase measurement showing the true
+margin is 41.6 sigma (noise.py anchor 4) — the preset behind the radix
+integer API (radix.py).
 
 Batching follows the framework's batch-first rule: ``ct (..., n+1)`` with
 ``table (space,)`` applies one function to the whole batch; ``table

@@ -17,7 +17,11 @@ carry headroom), and arithmetic works digit-wise:
   * comparisons: per-digit difference lookups emit GATE-encoded bits
     (raw +-mu tables), combined by the existing boolean machinery.
   * radix <-> bit bridges both ways (one PBS level each direction), so
-    the two integer APIs compose.
+    the two integer APIs compose; division, bitwise ops and
+    encrypted-condition select route through the bridges (no native
+    digit-wise form exists for them), paying 2 extra levels over the
+    bit-circuit cost while the hot ops stay native-radix.
+  * ``RadixInt``: the signed (two's complement) variant.
 
 Soundness is checked with the measured-calibrated noise model
 (``check_radix`` below; utils/noise.py anchors): at ``params.PBS_PARAMS``
@@ -449,6 +453,40 @@ class RadixUint:
         a, b = self._coerce(other)
         return a.select(a.gt(b), b)
 
+    # ------------------ bridge-backed derived ops --------------------- #
+    # Division and bitwise ops have no native digit-wise form (bitwise
+    # mixes bits WITHIN a digit; restoring division needs per-round
+    # encrypted selects) — they route through the bit bridges, paying 2
+    # extra bootstrap levels total on top of the bit-circuit cost.  The
+    # hot ops (+ - * compare select) stay native-radix.
+    def _via_bits(self, other, op):
+        a, b = self._coerce(other)
+        out = op(a.to_bits(), b.to_bits())
+        return type(a).from_bits(out, ndigits=a.ndigits)
+
+    def divmod(self, other):
+        """(quotient, remainder): unsigned restoring division through the
+        bit bridge (div-by-zero: q = all-ones, r = self)."""
+        a, b = self._coerce(other)
+        q_bits, r_bits = a.to_bits().divmod(b.to_bits())
+        return (type(a).from_bits(q_bits, ndigits=a.ndigits),
+                type(a).from_bits(r_bits, ndigits=a.ndigits))
+
+    def __floordiv__(self, other):
+        return self.divmod(other)[0]
+
+    def __mod__(self, other):
+        return self.divmod(other)[1]
+
+    def __and__(self, other):
+        return self._via_bits(other, lambda x, y: x & y)
+
+    def __or__(self, other):
+        return self._via_bits(other, lambda x, y: x | y)
+
+    def __xor__(self, other):
+        return self._via_bits(other, lambda x, y: x ^ y)
+
     # ----------------------- bit-world bridges ------------------------ #
     def to_bits(self):
         """RadixUint -> ints.FheUint (gate-encoded bit planes), ONE
@@ -563,6 +601,18 @@ class RadixInt(RadixUint):
                 "signed full-width radix product needs data-dependent sign "
                 "extension; bridge to FheInt (to_bits) for it")
         return super().mul(other, full=False, unsafe=unsafe)
+
+    def divmod(self, other):
+        """Signed TRUNCATED division (C/Rust semantics) through the bit
+        bridge (FheInt.divmod)."""
+        from .ints import FheInt
+
+        a, b = self._coerce(other)
+        fa = FheInt(a.ctx, a.to_bits().bits)
+        fb = FheInt(b.ctx, b.to_bits().bits)
+        q_bits, r_bits = fa.divmod(fb)
+        return (type(a).from_bits(q_bits, ndigits=a.ndigits),
+                type(a).from_bits(r_bits, ndigits=a.ndigits))
 
     def abs_(self):
         bits = self.to_bits()

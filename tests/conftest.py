@@ -68,6 +68,8 @@ _SLOW_TESTS = {
     "test_radix.py::test_signed_radix",
     "test_radix.py::test_mul",
     "test_radix.py::test_unsigned_select_min_max",
+    "test_radix.py::test_bridge_backed_divmod_bitwise",
+    "test_radix.py::test_signed_radix_divmod",
 }
 
 

@@ -189,3 +189,33 @@ def test_adaptive_from_pbs_int(ctx):
     assert u.width == 3
     np.testing.assert_array_equal(u.decrypt(), xs)
     np.testing.assert_array_equal((u + 1).decrypt(), (xs + 1) & 7)
+
+
+def test_bridge_backed_divmod_bitwise(ctx):
+    # Division and bitwise ops route through the bit bridges.
+    av = np.array([13, 7, 63, 0, 9], np.uint64)
+    bv = np.array([3, 7, 4, 5, 0], np.uint64)
+    a = RadixUint.encrypt(ctx, av, ND)
+    b = RadixUint.encrypt(ctx, bv, ND)
+    q, r = a.divmod(b)
+    eq = np.where(bv == 0, MASK, av // np.where(bv == 0, 1, bv))
+    er = np.where(bv == 0, av, av % np.where(bv == 0, 1, bv))
+    np.testing.assert_array_equal(q.decrypt(), eq)
+    np.testing.assert_array_equal(r.decrypt(), er)
+    np.testing.assert_array_equal((a & b).decrypt(), av & bv)
+    np.testing.assert_array_equal((a ^ b).decrypt(), av ^ bv)
+    np.testing.assert_array_equal((a | 5).decrypt(), av | 5)
+
+
+def test_signed_radix_divmod(ctx):
+    from rustfhe_tpu.radix import RadixInt
+
+    av = np.array([7, -7, 7, -7, -31], np.int64)
+    bv = np.array([2, 2, -2, -2, 3], np.int64)
+    a = RadixInt.encrypt(ctx, av, ND)
+    b = RadixInt.encrypt(ctx, bv, ND)
+    q, r = a.divmod(b)
+    eq = np.fix(av / bv).astype(np.int64)
+    er = av - eq * bv
+    np.testing.assert_array_equal(q.decrypt(), eq)
+    np.testing.assert_array_equal(r.decrypt(), er)
