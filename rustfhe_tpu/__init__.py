@@ -18,7 +18,7 @@ from .context import TFHE
 from .ints import FheUint, FheInt
 from .radix import RadixUint, RadixInt
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "TFHEParams",
