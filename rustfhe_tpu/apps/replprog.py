@@ -91,7 +91,9 @@ def expr_to_circuit(expr) -> tuple[Circuit, list[int]]:
 
 
 class FusedEvaluator:
-    """Two-compiled-program expression evaluator over a TFHE context.
+    """Fused expression evaluator over a TFHE context: four programs,
+    each compiled once per session (single-gate, first-level, interior
+    level, final level) — a depth-d expression is d device dispatches.
 
     ``width``: gate lanes per interior level (padded; lanes beyond the
     level's gates bootstrap a zero pre-combination into a trash wire).
