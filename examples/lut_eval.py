@@ -16,6 +16,7 @@ reported.  Usage:
 """
 
 import argparse
+import os
 import sys
 import time
 
@@ -52,7 +53,12 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev.platform} {dev.device_kind}")
     t0 = time.perf_counter()
-    ctx = TFHE.new(jax.random.PRNGKey(0), p, engine_name=None)
+    # KEYFILE: on-disk raw-key cache (utils.serialization.cached_keys) —
+    # keygen + its relay compiles run once per machine; later runs load in
+    # seconds.  KEYFILE="" disables.
+    keyfile = os.environ.get("KEYFILE", f"/tmp/rustfhe_keys_{p.N}_{p.n}")
+    ctx = TFHE.new(jax.random.PRNGKey(0), p, engine_name=None,
+                   keyfile=keyfile or None)
     print(f"# keygen ({ctx.engine_name}): {time.perf_counter() - t0:.1f}s")
 
     rng = np.random.default_rng(0)

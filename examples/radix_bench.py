@@ -52,7 +52,8 @@ def main():
     # still runs the on-device exactness probe AT THIS PRESET (l=4,
     # N=2048 — the fused kernel's digit-sum bound is exactly at its
     # 128 limit here, so the probe is not optional).
-    ctx = TFHE.new(jax.random.PRNGKey(11), p, None)
+    keyfile = os.environ.get("KEYFILE", f"/tmp/rustfhe_keys_{p.N}_{p.n}")
+    ctx = TFHE.new(jax.random.PRNGKey(11), p, None, keyfile=keyfile or None)
     print(f"# keygen {time.perf_counter() - t0:.1f}s "
           f"(engine {ctx.engine_name})", flush=True)
     rng = np.random.default_rng(5)

@@ -238,7 +238,8 @@ Ctrl-D to exit."""
 
 
 def nander_console(params=None, engine_name: str | None = None, stdin=None,
-                   stdout=None, latency_mode: bool = False):
+                   stdout=None, latency_mode: bool = False,
+                   keyfile: str | None = None):
     """Interactive console (main.rs:20-70): keygen, then parse/eval/decrypt.
 
     ``engine_name=None`` auto-selects the fastest exact engine for the
@@ -248,7 +249,12 @@ def nander_console(params=None, engine_name: str | None = None, stdin=None,
     ``latency_mode`` additionally precomputes the kernel panel tables
     (~12.6 GiB HBM at production parameters) — interactive expressions
     evaluate a handful of gates at a time, exactly the regime where it
-    wins (keys.cloud_key_panels / BENCH.md 2026-08-20)."""
+    wins (keys.cloud_key_panels / BENCH.md 2026-08-20).
+    ``keyfile``: on-disk raw-key cache prefix (--keyfile PATH on the CLI;
+    utils.serialization.cached_keys) — keygen runs once per machine and
+    later consoles come up in seconds.  NOTE: a cached console reuses the
+    SAME secret key across runs; point different trust domains at
+    different key files."""
     import jax
     import numpy as np
 
@@ -265,7 +271,7 @@ def nander_console(params=None, engine_name: str | None = None, stdin=None,
     print("selecting engine + generating keys...", file=stdout, flush=True)
     t0 = time.perf_counter()
     ctx = TFHE.new(jax.random.PRNGKey(int(time.time())), params, engine_name,
-                   latency_mode=latency_mode)
+                   latency_mode=latency_mode, keyfile=keyfile)
     print(f"keys ready in {time.perf_counter() - t0:.1f}s "
           f"(engine {ctx.engine_name})", file=stdout, flush=True)
 
@@ -332,4 +338,12 @@ if __name__ == "__main__":
     else:
         # --latency: prebuild the kernel panel tables (faster interactive
         # gates on TPU at ~12.6 GiB HBM; see keys.cloud_key_panels).
-        nander_console(latency_mode="--latency" in sys.argv)
+        # --keyfile PATH: cache the raw keys on disk — later consoles skip
+        # the keygen + its relay compiles (same secret key across runs).
+        kf = None
+        if "--keyfile" in sys.argv:
+            i = sys.argv.index("--keyfile")
+            if i + 1 >= len(sys.argv):
+                sys.exit("--keyfile needs a path prefix argument")
+            kf = sys.argv[i + 1]
+        nander_console(latency_mode="--latency" in sys.argv, keyfile=kf)

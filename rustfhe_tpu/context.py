@@ -35,19 +35,28 @@ class TFHE:
 
     @classmethod
     def new(cls, key, params: TFHEParams = DEFAULT_PARAMS, engine_name="matmul",
-            latency_mode: bool = False) -> "TFHE":
+            latency_mode: bool = False, keyfile: str | None = None) -> "TFHE":
         """``engine_name=None`` auto-selects the fastest exact engine for
         the device (on-device probe; see engine.select_fast_engine).
         ``latency_mode`` precomputes the engine's per-step kernel panel
         tables (keys.cloud_key_panels): ~12.6 GiB HBM at production
         parameters, 2-3x faster small-batch gates (interactive/REPL
-        flows); keep it off for large-batch throughput."""
+        flows); keep it off for large-batch throughput.
+        ``keyfile``: path prefix for the on-disk raw-key cache
+        (utils.serialization.cached_keys) — keygen runs once per machine
+        instead of once per process; the second run loads in seconds."""
         if engine_name is None:
             from .engine import select_fast_engine
 
             engine_name = select_fast_engine(params)
         kg, ke = jax.random.split(key)
-        sk, ck = gen_keys(kg, params, engine_name)
+        if keyfile:
+            from .utils.serialization import cached_keys
+
+            sk, ck = cached_keys(keyfile, kg, params, engine_name,
+                                 verbose=True)
+        else:
+            sk, ck = gen_keys(kg, params, engine_name)
         if latency_mode:
             from .keys import cloud_key_panels
 

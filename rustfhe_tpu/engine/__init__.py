@@ -96,6 +96,15 @@ register_engine("pallas_k2", PallasKaratsubaEngine(tb=128, levels=2))
 # not inside jitted keygen.
 register_engine("nuss", NussTransformEngine())
 
+# CPU-validation engine: exact f64-FFT convolution (the reference's own
+# spqlios trick).  10-30x cheaper per step than the circulant matmul on CPU;
+# needs jax_enable_x64 (its ops raise with the fix otherwise), so it is only
+# auto-selected when x64 is on — and, like every engine, only after passing
+# the oracle probe.
+from .fft64 import FFT64Engine  # noqa: E402
+
+register_engine("fft64", FFT64Engine())
+
 
 def probe_vectors(params):
     """Adversarial (rows, digits) exactness-probe vectors.
@@ -163,8 +172,10 @@ def select_fast_engine(params=None) -> str:
     before being selectable — exact-integer wrongness is invisible until
     decryption); an inexact override raises instead of returning.
     """
-    import numpy as np
     import os
+
+    import jax
+    import numpy as np
 
     from ..params import DEFAULT_PARAMS
 
@@ -193,7 +204,13 @@ def select_fast_engine(params=None) -> str:
     # gates/s vs pallas_k's 5,552 in the round-1 driver bench (BENCH.md).
     # The plain fused kernel stays as a fallback for parameter sets that
     # violate the Karatsuba constraints (e.g. bgbit=8 digit-sum overflow).
-    for name in ("pallas_k2", "pallas_k", "pallas", "matmul", "matmul_bf16"):
+    # fft64 leads on CPU when x64 is enabled (10-30x faster per step than
+    # the circulant matmul there; its exactness bound needs per-limb conv
+    # sums below 2^53: 2L*N*half_bg*2^15 — generous for every preset here).
+    names = ("pallas_k2", "pallas_k", "pallas", "matmul", "matmul_bf16")
+    if on_cpu and jax.config.jax_enable_x64:
+        names = ("fft64",) + names
+    for name in names:
         if name.startswith("pallas_k"):
             levels = 2 if name == "pallas_k2" else 1
             if (

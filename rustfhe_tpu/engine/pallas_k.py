@@ -626,6 +626,17 @@ class PallasKaratsubaEngine:
         )
         return panels.reshape(lead + panels.shape[1:])
 
+    def panels_nbytes(self, prepared, params) -> int:
+        """HBM bytes ``prepare_panels(prepared)`` would allocate (int8
+        table, so bytes == element count).  Used by the keygen-side guard
+        (keys.cloud_key_panels) to fail with a clear error BEFORE XLA
+        RESOURCE_EXHAUSTs: 12.6 GiB at the default set, 47 GB at N=2048."""
+        import numpy as np
+
+        ns = params.N >> self.levels
+        lead_rows = int(np.prod(prepared.shape[:-1], dtype=np.int64))
+        return lead_rows * self.tm * (2 * ns - self.tm)
+
     def _panels_of(self, prepared, params):
         ns = params.N >> self.levels
         if prepared.shape[-1] == 2 * ns - self.tm:

@@ -460,11 +460,11 @@ def from_pbs_int(ctx, ct, space: int, *, unsafe: bool = False) -> FheUint:
         tabs = np.array(chunk + [[0] * space] * pad, np.uint32)
         if t == 1:
             out = _pbs.pbs(ctx.ck, ct, jnp.asarray(tabs[0]), space=space,
-                           raw=True, params=ctx.params,
+                           raw=True, params=ctx.params, unsafe=unsafe,
                            engine_name=ctx.engine_name)[..., None, :]
         else:
             out = _pbs.pbs_many(ctx.ck, ct, jnp.asarray(tabs), space=space,
-                                raw=True, params=ctx.params,
+                                raw=True, params=ctx.params, unsafe=unsafe,
                                 engine_name=ctx.engine_name)
         planes.append(out[..., : len(chunk), :])
     return FheUint(ctx, jnp.concatenate(planes, axis=-2))

@@ -98,7 +98,64 @@ def gen_cloud_key(key, sk: SecretKey, params: TFHEParams, engine_name="matmul") 
     return _gen(key, sk)
 
 
-def cloud_key_panels(ck: CloudKey, params: TFHEParams, engine_name) -> CloudKey:
+#: number of large (>1/4 device memory) panel/hybrid tables built in this
+#: process — the "one panel key per process" rule (see _guard_panel_hbm).
+_BIG_PANEL_BUILDS = 0
+
+
+def _device_bytes_limit():
+    """The accelerator's memory capacity in bytes, or None when unknown
+    (CPU backends typically expose no limit)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    return stats.get("bytes_limit")
+
+
+def _guard_panel_hbm(need: int, params: TFHEParams, what: str,
+                     device_bytes_limit=None) -> None:
+    """Fail with a clear error BEFORE XLA RESOURCE_EXHAUSTs on a panel build.
+
+    Two documented failure modes become API guarantees here (VERDICT r4 #7):
+      * the table simply does not fit (N=2048: 47 GB of panels vs ~16 GB of
+        v5e HBM — there is no latency mode at that parameter point; use the
+        standard per-step key);
+      * only ONE large panel/hybrid table fits per PROCESS — even building
+        a second one serially after releasing the first RESOURCE_EXHAUSTs
+        (XLA does not compact HBM), so a second large build raises.
+    """
+    global _BIG_PANEL_BUILDS
+    limit = device_bytes_limit if device_bytes_limit is not None else _device_bytes_limit()
+    if limit is None:
+        return
+    gib = 1024.0**3
+    if need > 0.92 * limit:
+        raise MemoryError(
+            f"{what} needs ~{need / gib:.1f} GiB of panel tables at "
+            f"N={params.N}, n={params.n}, but the device has only "
+            f"{limit / gib:.1f} GiB: there is no latency/panel mode at this "
+            "parameter set — use the standard per-step key (the scan "
+            "overlaps the panel build), or cloud_key_hybrid(full_panels="
+            "False) if the half-size table fits."
+        )
+    if need > 0.25 * limit:
+        if _BIG_PANEL_BUILDS >= 1:
+            raise MemoryError(
+                f"only one large panel/hybrid key fits per process: a "
+                f"previous build already consumed its HBM, and XLA does not "
+                f"compact freed device memory, so this second "
+                f"~{need / gib:.1f} GiB {what} would RESOURCE_EXHAUST even "
+                "if the first key was released.  Build each panel key in "
+                "its own process (see CLAUDE.md / BENCH.md latency mode)."
+            )
+        _BIG_PANEL_BUILDS += 1
+
+
+def cloud_key_panels(ck: CloudKey, params: TFHEParams, engine_name,
+                     device_bytes_limit=None) -> CloudKey:
     """Latency-mode cloud key: the bootstrapping key's per-step kernel
     panel tables precomputed once (engines without ``prepare_panels`` —
     the non-Pallas paths — are returned unchanged).
@@ -108,11 +165,21 @@ def cloud_key_panels(ck: CloudKey, params: TFHEParams, engine_name) -> CloudKey:
     is not hidden under the kernel (B <~ 2048; benches/latency_probe.py).
     Large-batch throughput should keep the standard key: the build is
     overlapped there and the panel array would crowd out the accumulator.
+
+    Raises MemoryError with the fix spelled out when the table cannot fit
+    (no latency mode exists at N=2048: 47 GB of panels) or when a second
+    large panel key is built in the same process (only one fits — XLA does
+    not compact HBM; see _guard_panel_hbm).  ``device_bytes_limit``
+    overrides the queried device capacity (tests).
     """
     engine = resolve_engine(engine_name)
     prep = getattr(engine, "prepare_panels", None)
     if prep is None:
         return ck
+    est = getattr(engine, "panels_nbytes", None)
+    if est is not None:
+        _guard_panel_hbm(est(ck.bk, params), params, "cloud_key_panels",
+                         device_bytes_limit)
     return CloudKey(bk=prep(ck.bk, params), ksk=ck.ksk)
 
 
@@ -131,7 +198,8 @@ class HybridBK(NamedTuple):
 
 
 def cloud_key_hybrid(ck: CloudKey, params: TFHEParams, engine_name,
-                     full_panels: bool = False) -> CloudKey:
+                     full_panels: bool = False,
+                     device_bytes_limit=None) -> CloudKey:
     """Hybrid-mode cloud key: odd-step panel tables precomputed, even built
     per step.  Engines without a fused pair step (non-Pallas paths) are
     returned unchanged.  Measured +7.7% throughput over the standard key
@@ -148,6 +216,13 @@ def cloud_key_hybrid(ck: CloudKey, params: TFHEParams, engine_name,
         return ck
     if isinstance(ck.bk, HybridBK):
         return ck
+    est = getattr(engine, "panels_nbytes", None)
+    if est is not None:
+        # full_panels prebuilds every step's table (latency-mode cost);
+        # otherwise only the odd steps' half is materialized.
+        total = est(ck.bk, params)
+        _guard_panel_hbm(total if full_panels else total // 2, params,
+                         "cloud_key_hybrid", device_bytes_limit)
     n = ck.bk.shape[0]
     npairs = n // 2
     even = ck.bk[0 : 2 * npairs : 2]
@@ -163,6 +238,27 @@ def cloud_key_hybrid(ck: CloudKey, params: TFHEParams, engine_name,
         ),
         ksk=ck.ksk,
     )
+
+
+def gen_cloud_key_raw(key, sk: SecretKey, params: TFHEParams,
+                      engine_name="matmul"):
+    """(bk_raw, ksk_raw) uint32 — the engine-INDEPENDENT evaluation keys
+    (every engine is exact mod 2^32, so the raw bytes do not depend on
+    ``engine_name``; it only selects the encryption-path engine).  This is
+    what ``utils.serialization.save_cloud_key_raw`` persists: prepare once
+    per engine on load instead of re-running keygen per process (VERDICT
+    r4 #3 — PBS_PARAMS keygen costs ~657 s through the relay)."""
+    engine = resolve_engine(engine_name)
+
+    @jax.jit
+    def _gen(key, sk):
+        kb, kk = jax.random.split(key)
+        return (
+            gen_bootstrapping_key_raw(kb, sk, params, engine),
+            gen_key_switching_key_raw(kk, sk, params),
+        )
+
+    return _gen(key, sk)
 
 
 def gen_keys(key, params: TFHEParams = None, engine_name="matmul"):

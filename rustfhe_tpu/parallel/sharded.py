@@ -266,16 +266,57 @@ class _TPMatmulEngine:
         return self._base.poly_mul_torus_binary(a, s, params)
 
 
-def tp_gate_fn(mesh: Mesh, params: TFHEParams, kind: str = "nand"):
+class _TPFFT64Engine:
+    """FFT64Engine wrapper for the same tp sharding: each device convolves
+    only its shard of the 2L gadget rows (the per-limb f64 partial sums are
+    exact integers, so a float psum over ``model`` BEFORE rounding is exact
+    too — same associativity argument as the int32 limb psum above)."""
+
+    def __init__(self, base, axis_name: str):
+        self._base = base
+        self.axis = axis_name
+        self.limb_bits = base.limb_bits
+        self.num_limbs = base.num_limbs
+
+    def external_product_digits(self, prepared_local, digits, params):
+        # prepared_local: c128 (2L_local, 2, K, N+1) — this device's rows.
+        two_l_local = prepared_local.shape[0]
+        start = jax.lax.axis_index(self.axis) * two_l_local
+        d_local = jax.lax.dynamic_slice_in_dim(digits, start, two_l_local, axis=-2)
+        part = self._base._conv_partial(prepared_local, d_local, params)
+        part = jax.lax.psum(part, self.axis)
+        return self._base._round_recombine(part, params)
+
+    def poly_mul_torus_binary(self, a, s, params):
+        return self._base.poly_mul_torus_binary(a, s, params)
+
+
+def _tp_engine(engine, axis_name: str):
+    """Tensor-parallel wrapper for the engines that support row sharding."""
+    from ..engine.fft64 import FFT64Engine
+    from ..engine.matmul import MatmulEngine
+
+    if isinstance(engine, FFT64Engine):
+        return _TPFFT64Engine(engine, axis_name)
+    if isinstance(engine, MatmulEngine):
+        return _TPMatmulEngine(engine, axis_name)
+    raise TypeError(
+        f"engine {getattr(engine, 'name', engine)!r} has no tensor-parallel "
+        "row-sharded external product (use 'matmul' or 'fft64')"
+    )
+
+
+def tp_gate_fn(mesh: Mesh, params: TFHEParams, kind: str = "nand",
+               engine_name="matmul"):
     """Mesh-sharded gate with the BK gadget rows tensor-parallel over
     ``model``: per-step psum of external-product partials inside the scan,
     plus the psum key switch.  Inputs: bk sharded on its 2L axis, ksk row
     sharded, ciphertexts over ``data``."""
-    engine = resolve_engine("matmul")
+    engine = resolve_engine(engine_name)
     n_cts = {"not": 1, "mux": 3}.get(kind, 2)
 
     def gate_n(bk_local, ksk_local, *cts):
-        tp = _TPMatmulEngine(engine, "model")
+        tp = _tp_engine(engine, "model")
         return _gate_local(kind, params, tp)(bk_local, ksk_local, *cts)
 
     mapped = jax.shard_map(

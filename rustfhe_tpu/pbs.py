@@ -117,9 +117,11 @@ def lut_testvec(table, space: int, params: TFHEParams,
     return trlwe.trivial(v)
 
 
-@partial(jax.jit, static_argnames=("space", "params", "engine_name", "raw"))
+@partial(jax.jit,
+         static_argnames=("space", "params", "engine_name", "raw", "unsafe"))
 def pbs(ck: CloudKey, ct, table, *, space: int, params: TFHEParams,
-        engine_name: str = "matmul", raw: bool = False) -> jnp.ndarray:
+        engine_name: str = "matmul", raw: bool = False,
+        unsafe: bool = False) -> jnp.ndarray:
     """Programmable bootstrap: lv0 TLWE of x -> lv0 TLWE of table[x].
 
     ``ct (..., n+1)`` uint32 encrypting x in [0, space) under the padding-bit
@@ -127,10 +129,15 @@ def pbs(ck: CloudKey, ct, table, *, space: int, params: TFHEParams,
     2*space).  One compiled program per (space, batch shape) serves every
     table — the table is a traced operand, not a constant.
 
+    The (space, params) pair is margin-gated at trace time (``_gate_margin``:
+    raise below 3 calibrated sigma, warn below 5); ``unsafe=True`` skips the
+    gate for borderline-margin measurements.
+
     Cost: exactly one gate bootstrap (same blind-rotate scan, same fused
     kernels, same key switch) — ~7.8k PBS/s/chip at production parameters.
     """
     _check_space(space, params)
+    _gate_margin(params, space, 1, unsafe, "pbs")
     engine = resolve_engine(engine_name)
     # Half-bucket pre-offset centers each bucket's phase window (module doc).
     pre = jnp.asarray(ct, U32).at[..., 0].add(U32((1 << 32) // (4 * space)))
@@ -202,9 +209,11 @@ def rotate_extract_many(bk, ct, tables, space: int, params: TFHEParams,
     )  # (..., t, N+1)
 
 
-@partial(jax.jit, static_argnames=("space", "params", "engine_name", "raw"))
+@partial(jax.jit,
+         static_argnames=("space", "params", "engine_name", "raw", "unsafe"))
 def pbs_many(ck: CloudKey, ct, tables, *, space: int, params: TFHEParams,
-             engine_name: str = "matmul", raw: bool = False) -> jnp.ndarray:
+             engine_name: str = "matmul", raw: bool = False,
+             unsafe: bool = False) -> jnp.ndarray:
     """Multi-output PBS: t lookup tables on the same x for the price of ONE
     blind rotation (PBSmanyLUT).
 
@@ -222,33 +231,36 @@ def pbs_many(ck: CloudKey, ct, tables, *, space: int, params: TFHEParams,
     and a t-row key-switch batch; the 635-step rotation is NOT repeated.
     Noise: the modulus-switch drift variance grows by t^2
     (``check_pbs_many`` vets a (space, t) pair analytically with the
-    measured calibration).
+    measured calibration); the (space, t, params) triple is margin-gated at
+    trace time like ``pbs`` (``unsafe=True`` skips the gate).
     """
+    t_static = jnp.asarray(tables).shape[-2]
+    _gate_margin(params, space, t_static, unsafe, "pbs_many")
     engine = resolve_engine(engine_name)
     lv1 = rotate_extract_many(ck.bk, ct, tables, space, params, engine,
                               raw=raw)
     return identity_key_switch(lv1, ck.ksk, params, engine)
 
 
-def check_pbs_many(params: TFHEParams, space: int, t: int,
-                   min_sigmas: float = 5.0) -> tuple[bool, str]:
-    """Noise-budget verdict for ``pbs_many`` at (space, t).
-
-    Same calibrated model as ``check_pbs_space`` with the modulus-switch
-    drift variance scaled by t^2 (the only term the coarsened switch
-    changes)."""
-    import math
-
-    from .utils.noise import DEFAULT_SIGMA_INFLATION, noise_budget
+def pbs_margin(params: TFHEParams, space: int, t: int = 1):
+    """CalibratedMargin for a (space, t) multi-output PBS: decision
+    half-width 1/(4*space), plus the coarsened modulus switch's t^2 drift
+    excess (the only term it changes).  Stated as a per-preset calibrated
+    lower bound (utils/noise.calibrated_margin, VERDICT r4 #2)."""
+    from .utils.noise import calibrated_margin, noise_budget
 
     _check_many(space, t, params)
-    nb = noise_budget(params)
-    var = (nb.sigma_total**2) + (t * t - 1) * nb.var_rounding
-    sigma = math.sqrt(var) * DEFAULT_SIGMA_INFLATION
-    margin = (1.0 / (4.0 * space)) / sigma
-    msg = (f"space={space}, t={t}: margin {margin:.1f} sigma "
-           f"(calibrated sigma={sigma:.2e})")
-    return margin >= min_sigmas, msg
+    extra = (t * t - 1) * noise_budget(params).var_rounding
+    return calibrated_margin(params, 1.0 / (4.0 * space), extra_var=extra)
+
+
+def check_pbs_many(params: TFHEParams, space: int, t: int,
+                   min_sigmas: float = 5.0) -> tuple[bool, str]:
+    """Noise-budget verdict for ``pbs_many`` at (space, t): the calibrated
+    LOWER-BOUND margin must exceed ``min_sigmas``."""
+    cm = pbs_margin(params, space, t)
+    msg = f"space={space}, t={t}: {cm.describe()}"
+    return cm.lower_bound_sigmas >= min_sigmas, msg
 
 
 def check_pbs_space(params: TFHEParams, space: int,
@@ -256,16 +268,47 @@ def check_pbs_space(params: TFHEParams, space: int,
     """Noise-budget verdict for PBS at ``space`` on bootstrapped inputs.
 
     Same model as utils/noise.check_params with the gate margin 1/16
-    replaced by the PBS bucket half-width 1/(4*space), and the analytic
-    sigma inflated by the MEASURED factor of noise.py's anchor 3 (the
-    direct on-device phase-error measurement at the default set — the
-    uninflated model passed space=8, which then failed 18/4096 on device;
-    see the module docstring)."""
-    from .utils.noise import DEFAULT_SIGMA_INFLATION, noise_budget
-
+    replaced by the PBS bucket half-width 1/(4*space), stated as the
+    preset-calibrated lower bound: at the DEFAULT set the measured anchor-3
+    correction applies (the uncorrected model passed space=8, which then
+    failed 18/4096 on device); at PBS_PARAMS (measured 2.7x conservative)
+    the uncorrected prediction IS the bound."""
     _check_space(space, params)
-    sigma = noise_budget(params).sigma_total * DEFAULT_SIGMA_INFLATION
-    margin = (1.0 / (4.0 * space)) / sigma
-    msg = (f"space={space}: margin {margin:.1f} sigma "
-           f"(calibrated sigma={sigma:.2e})")
-    return margin >= min_sigmas, msg
+    cm = pbs_margin(params, space, 1)
+    msg = f"space={space}: {cm.describe()}"
+    return cm.lower_bound_sigmas >= min_sigmas, msg
+
+
+#: Runtime gating thresholds for pbs()/pbs_many() (VERDICT r4 #2: the
+#: borderline DEFAULT-set combos must not run silently): below RAISE the
+#: decode is unreliable (~0.5%+ error/lookup) and the call refuses without
+#: unsafe=True; below WARN it runs but warns.
+RAISE_BELOW_SIGMAS = 3.0
+WARN_BELOW_SIGMAS = 5.0
+
+
+def _gate_margin(params: TFHEParams, space: int, t: int, unsafe: bool,
+                 what: str) -> None:
+    """Trace-time margin gate (space/t/params are static under jit)."""
+    if unsafe:
+        return
+    cm = pbs_margin(params, space, t)
+    lb = cm.lower_bound_sigmas
+    at = f"{what} at space={space}" + (f", t={t}" if t > 1 else "")
+    if lb < RAISE_BELOW_SIGMAS:
+        raise ValueError(
+            f"{at}: calibrated lower-bound margin {lb:.1f} sigma < "
+            f"{RAISE_BELOW_SIGMAS} — lookups would decode wrong at the "
+            f"~0.5%+ level on this parameter set ({cm.describe()}).  Use a "
+            "PBS-tuned preset (params.PBS_PARAMS), a smaller space/t, or "
+            "pass unsafe=True for borderline-margin measurements."
+        )
+    if lb < WARN_BELOW_SIGMAS:
+        import warnings
+
+        warnings.warn(
+            f"{at}: calibrated lower-bound margin {lb:.1f} sigma < "
+            f"{WARN_BELOW_SIGMAS} ({cm.describe()}) — occasional wrong "
+            "lookups are expected at large batch",
+            stacklevel=3,
+        )

@@ -140,10 +140,10 @@ def negacyclic_mul_torus_oracle(a_torus, b_int) -> jnp.ndarray:
     return jnp.sum(prod, axis=-1, dtype=U32)
 
 
-def to_signed_limbs(x, limb_bits: int, num_limbs: int) -> jnp.ndarray:
+def to_signed_limbs(x, limb_bits: int, num_limbs: int, dtype=None) -> jnp.ndarray:
     """Split uint32 values into balanced signed limbs.
 
-    Returns int8 array ``(..., num_limbs)`` with limb ``k`` in
+    Returns ``dtype`` (default int8) array ``(..., num_limbs)`` with limb ``k`` in
     [-2^(limb_bits-1), 2^(limb_bits-1)) such that
     ``sum_k limb_k * 2^(limb_bits*k) == x (mod 2^32)``.
     The final carry out of the top limb is dropped: its weight is
@@ -153,6 +153,8 @@ def to_signed_limbs(x, limb_bits: int, num_limbs: int) -> jnp.ndarray:
     which bounds int8-matmul accumulations well inside exact int32/f32 range.
     """
     assert limb_bits * num_limbs >= 32
+    if dtype is None:
+        dtype = jnp.int8
     x = jnp.asarray(x, U32)
     base = U32((1 << limb_bits) - 1)
     half = 1 << (limb_bits - 1)
@@ -164,9 +166,9 @@ def to_signed_limbs(x, limb_bits: int, num_limbs: int) -> jnp.ndarray:
         raw = raw + carry
         # raw in [0, 2^limb_bits]; map to balanced and carry the excess.
         over = raw >= U32(half)
-        # int8 immediately: raw - over*2^limb_bits fits [-half, half-1].
+        # narrow immediately: raw - over*2^limb_bits fits [-half, half-1].
         limbs.append(
-            (raw.astype(I32) - jnp.where(over, I32(1 << limb_bits), I32(0))).astype(jnp.int8)
+            (raw.astype(I32) - jnp.where(over, I32(1 << limb_bits), I32(0))).astype(dtype)
         )
         carry = over.astype(U32)
     return jnp.stack(limbs, axis=-1)

@@ -89,8 +89,98 @@ MARGIN = 1.0 / 16.0
 CAL_ROUNDING = 2.5
 
 # Anchor 3: measured/predicted output sigma at the DEFAULT set (1.08e-2 /
-# 6.9e-3).  Applied by tight-margin verdicts (pbs.check_pbs_space).
+# 6.9e-3 ~= 1.6).  Kept as the named constant the round-3/4 BENCH rows
+# quote; calibrated_margin() below is the per-preset generalization.
 DEFAULT_SIGMA_INFLATION = 1.6
+
+# ---------------------------------------------------------------------- #
+# Per-preset calibration (VERDICT r4 #2): the fitted bias is NOT one
+# constant — it flips sign between presets (anchor 3 vs anchor 4), so each
+# measured preset carries its own true-sigma multiplier, and every shipped
+# margin is stated as a LOWER bound under the worst measured direction.
+# ---------------------------------------------------------------------- #
+
+#: Measured true-sigma multipliers (measured / predicted output sigma),
+#: keyed by the anchor presets.  >1: the model was optimistic there (the
+#: unsafe direction); <1: conservative (real headroom).
+def _preset_corrections():
+    from ..params import DEFAULT_PARAMS, FAST_PARAMS, PBS_PARAMS
+
+    return {
+        FAST_PARAMS: 1.0,  # anchor 1: CAL_ROUNDING fitted on this axis
+        DEFAULT_PARAMS: DEFAULT_SIGMA_INFLATION,  # anchor 3: 1.08e-2/6.9e-3
+        PBS_PARAMS: 7.5e-4 / 2.02e-3,  # anchor 4: ~2.7x conservative
+    }
+
+
+#: Correction applied to UNMEASURED parameter sets: the worst bias
+#: direction ever measured (anchor 3's 1.6x optimism).
+WORST_CASE_SIGMA_CORRECTION = DEFAULT_SIGMA_INFLATION
+
+
+def sigma_correction(params: TFHEParams) -> tuple[float, bool]:
+    """(true-sigma multiplier, anchored?) for ``params``.
+
+    Anchored presets get their measured correction; anything else gets the
+    worst measured direction (a margin quoted through this is a lower
+    bound, never a best case)."""
+    corr = _preset_corrections().get(params)
+    if corr is not None:
+        return corr, True
+    return WORST_CASE_SIGMA_CORRECTION, False
+
+
+@dataclass(frozen=True)
+class CalibratedMargin:
+    """A decision margin stated both ways (VERDICT r4 #2).
+
+    ``predicted_sigmas``: the uncorrected analytic model's margin.
+    ``lower_bound_sigmas``: the margin after applying the preset's measured
+    sigma correction IN THE UNSAFE DIRECTION ONLY — corrections < 1 (the
+    model measured conservative, e.g. PBS_PARAMS) are clamped to 1, so the
+    bound never takes credit beyond the analytic prediction from a single
+    measured batch.  This is the number every verdict gates on.
+    """
+
+    predicted_sigmas: float
+    lower_bound_sigmas: float
+    sigma_predicted: float
+    sigma_correction: float
+    anchored: bool
+
+    def describe(self) -> str:
+        src = "anchored" if self.anchored else "worst-case (unmeasured set)"
+        return (
+            f"margin {self.lower_bound_sigmas:.1f} sigma lower bound "
+            f"(predicted {self.predicted_sigmas:.1f} sigma, "
+            f"sigma={self.sigma_predicted:.2e}, "
+            f"correction x{self.sigma_correction:.2f} {src})"
+        )
+
+
+def calibrate(params: TFHEParams, sigma_predicted: float,
+              decision_margin: float) -> CalibratedMargin:
+    """Apply the preset's measured correction to an already-modeled sigma
+    (custom variance models — radix carry sums etc. — enter here)."""
+    corr, anchored = sigma_correction(params)
+    return CalibratedMargin(
+        predicted_sigmas=decision_margin / sigma_predicted,
+        lower_bound_sigmas=decision_margin / (sigma_predicted * max(corr, 1.0)),
+        sigma_predicted=sigma_predicted,
+        sigma_correction=corr,
+        anchored=anchored,
+    )
+
+
+def calibrated_margin(params: TFHEParams, decision_margin: float = MARGIN,
+                      extra_var: float = 0.0) -> CalibratedMargin:
+    """Calibrated (predicted, lower-bound) margin pair for a decision
+    half-width ``decision_margin`` (1/16 for gates, 1/(4*space) for PBS),
+    with ``extra_var`` added to the modeled phase variance (e.g. the
+    pbs_many t^2 drift excess)."""
+    nb = noise_budget(params)
+    sigma = math.sqrt(nb.sigma_total**2 + extra_var)
+    return calibrate(params, sigma, decision_margin)
 
 
 @dataclass(frozen=True)
@@ -140,18 +230,18 @@ def noise_budget(params: TFHEParams) -> NoiseBudget:
 
 
 def check_params(params: TFHEParams, min_sigmas: float = 5.0) -> tuple[bool, str]:
-    """(ok, message): ok iff the decode margin exceeds ``min_sigmas``.
+    """(ok, message): ok iff the decode margin's calibrated LOWER BOUND
+    exceeds ``min_sigmas``.
 
     5 sigma ~= 3e-7 per-gate failure — comfortably correct at batch 10^5.
-    The verdict is backed by the two measured anchors in the module
-    docstring: the FAST preset scores 3.0 sigma here, matching its
-    measured 12/8192 on-device failures, and the BK-noise axis is
-    measured conservative (predicted failures at 2.8-3.4 sigma did not
-    materialize at B=131072)."""
+    The bound applies the preset's measured sigma correction in the unsafe
+    direction only (``calibrated_margin``): the FAST preset scores 3.0
+    sigma here, matching its measured 12/8192 on-device failures; DEFAULT's
+    predicted 9.1 sigma is stated as its measured-true 5.7; PBS_PARAMS
+    (measured 2.7x conservative) keeps its uncorrected prediction as the
+    bound."""
     b = noise_budget(params)
+    cm = calibrated_margin(params)
     dominant = max(b.components(), key=lambda k: b.components()[k])
-    msg = (
-        f"margin {b.margin_sigmas:.1f} sigma (sigma={b.sigma_total:.2e}, "
-        f"dominant term: {dominant})"
-    )
-    return b.margin_sigmas >= min_sigmas, msg
+    msg = f"{cm.describe()}; dominant term: {dominant}"
+    return cm.lower_bound_sigmas >= min_sigmas, msg

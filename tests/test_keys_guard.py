@@ -1,0 +1,72 @@
+"""Latency-mode HBM guard (keys._guard_panel_hbm; VERDICT r4 #7).
+
+The two failure modes a latency-mode user hits first — a panel table that
+cannot fit (N=2048: ~44 GiB vs ~16 GiB of v5e HBM) and a second large panel
+key in one process (XLA does not compact HBM) — must surface as clear
+MemoryErrors from keygen, not as raw XLA RESOURCE_EXHAUSTs mid-build.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rustfhe_tpu import keys
+from rustfhe_tpu.engine import get_engine
+from rustfhe_tpu.params import DEFAULT_PARAMS, PBS_PARAMS
+
+GIB = 1024**3
+V5E_HBM = 16 * GIB
+
+
+def _fake_prepared_bk(params, engine):
+    """ShapeDtypeStruct with the pallas_k engine's prepared-row layout
+    (n, 2, 2L*K*3^L, 2*ns) — the guard only reads .shape, and the build
+    must raise BEFORE any table is materialized."""
+    T = 3**engine.levels
+    ns = params.N >> engine.levels
+    shape = (params.n, 2, 2 * params.l * engine.num_limbs * T, 2 * ns)
+    return jax.ShapeDtypeStruct(shape, jnp.int8)
+
+
+def test_no_latency_mode_at_n2048():
+    eng = get_engine("pallas_k2")
+    ck = keys.CloudKey(bk=_fake_prepared_bk(PBS_PARAMS, eng), ksk=None)
+    # ~44 GiB of panels: the clear no-fit error, before any allocation.
+    with pytest.raises(MemoryError, match="no latency/panel mode"):
+        keys.cloud_key_panels(ck, PBS_PARAMS, "pallas_k2",
+                              device_bytes_limit=V5E_HBM)
+    with pytest.raises(MemoryError, match="no latency/panel mode"):
+        keys.cloud_key_hybrid(ck, PBS_PARAMS, "pallas_k2", full_panels=True,
+                              device_bytes_limit=V5E_HBM)
+
+
+def test_n2048_estimate_matches_documented_size():
+    eng = get_engine("pallas_k2")
+    bk = _fake_prepared_bk(PBS_PARAMS, eng)
+    est = eng.panels_nbytes(bk, PBS_PARAMS)
+    assert 40 * GIB < est < 50 * GIB  # the documented "47 GB" table
+
+
+def test_one_large_panel_key_per_process(monkeypatch):
+    monkeypatch.setattr(keys, "_BIG_PANEL_BUILDS", 0)
+    need = int(12.6 * GIB)  # the default-set panel table
+    keys._guard_panel_hbm(need, DEFAULT_PARAMS, "cloud_key_panels",
+                          device_bytes_limit=V5E_HBM)  # first build: fine
+    with pytest.raises(MemoryError, match="one large panel/hybrid key"):
+        keys._guard_panel_hbm(need, DEFAULT_PARAMS, "cloud_key_panels",
+                              device_bytes_limit=V5E_HBM)
+
+
+def test_small_tables_never_tripped(monkeypatch):
+    monkeypatch.setattr(keys, "_BIG_PANEL_BUILDS", 0)
+    for _ in range(4):  # small-params tables: no rule applies
+        keys._guard_panel_hbm(64 * 1024**2, DEFAULT_PARAMS, "cloud_key_panels",
+                              device_bytes_limit=V5E_HBM)
+    assert keys._BIG_PANEL_BUILDS == 0
+
+
+def test_unknown_limit_is_permissive(monkeypatch):
+    # CPU backends report no capacity: the guard must not block anything.
+    monkeypatch.setattr(keys, "_BIG_PANEL_BUILDS", 0)
+    monkeypatch.setattr(keys, "_device_bytes_limit", lambda: None)
+    keys._guard_panel_hbm(10**12, DEFAULT_PARAMS, "cloud_key_panels")

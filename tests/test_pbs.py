@@ -181,8 +181,11 @@ def test_pbs_many_lut(setup):
     tables = rs.randint(0, space, size=(t, space))
     ct = pbs.encrypt_int(jax.random.fold_in(ke, 31), sk.lv0,
                          jnp.asarray(xs), space, p)
+    # unsafe=True: t=4 at the tiny test set sits at a 2.1-sigma calibrated
+    # bound (N=64's coarsened switch is genuinely coarse) — fine for this
+    # fixed-seed functional test, but the margin gate rightly flags it.
     out = pbs.pbs_many(ck, ct, jnp.asarray(tables), space=space, params=p,
-                       engine_name="matmul")
+                       engine_name="matmul", unsafe=True)
     assert out.shape == (12, t, p.n + 1)
     dec = np.asarray(pbs.decrypt_int(out, sk.lv0, space))
     for j in range(t):

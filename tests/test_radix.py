@@ -29,8 +29,12 @@ def test_check_radix_contract():
     ok, msg = radix.check_radix(PBS_PARAMS)
     assert ok, msg
     ok_m, msg_m = radix.check_radix(PBS_PARAMS, use_many=True)
-    # t=2 extraction is the documented borderline variant (~4.9 sigma).
-    assert not ok_m and "4.9" in msg_m, msg_m
+    # t=2 extraction at PBS_PARAMS: the round-4 single-constant model read
+    # this as a borderline 4.9 sigma; the per-preset calibration (anchor 4
+    # measured the preset 2.7x conservative — the drift term the t^2 factor
+    # scales is exactly the overcounted one) restates it as a 7.9-sigma
+    # lower bound, so use_many is now sound at the PBS preset.
+    assert ok_m and "7.9" in msg_m, msg_m
     ok_d, msg_d = radix.check_radix(DEFAULT_PARAMS)
     assert not ok_d, f"DEFAULT must be rejected for radix: {msg_d}"
     ok_t, msg_t = radix.check_radix(PBS_TEST_PARAMS)
@@ -160,8 +164,6 @@ def test_signed_radix_guards(ctx):
 
     a = RadixInt.encrypt(ctx, AS[:1], ND)
     u = RadixUint.encrypt(ctx, np.array([1], np.uint64), ND)
-    with pytest.raises(NotImplementedError):
-        a.mul(a, full=True)
     with pytest.raises(TypeError, match="cannot mix"):
         a + u
 
@@ -219,3 +221,88 @@ def test_signed_radix_divmod(ctx):
     er = av - eq * bv
     np.testing.assert_array_equal(q.decrypt(), eq)
     np.testing.assert_array_equal(r.decrypt(), er)
+
+
+# ----------------------- round-5 API additions ------------------------ #
+def test_shift_left(ctx):
+    x = RadixUint.encrypt(ctx, A, ND)
+    for k in (0, 1, 2, 3, 4, 2 * ND):
+        got = x.shift_left(k).decrypt()
+        np.testing.assert_array_equal(got, (A << np.uint64(k)) & MASK,
+                                      err_msg=f"k={k}")
+
+
+def test_shift_right(ctx):
+    x = RadixUint.encrypt(ctx, A, ND)
+    for k in (0, 1, 2, 3, 5, 2 * ND):
+        got = x.shift_right(k).decrypt()
+        np.testing.assert_array_equal(got, (A & MASK) >> np.uint64(k),
+                                      err_msg=f"k={k}")
+
+
+def test_shift_operators_and_signed_pattern(ctx):
+    from rustfhe_tpu.radix import RadixInt
+
+    x = RadixUint.encrypt(ctx, A, ND)
+    np.testing.assert_array_equal((x << 3).decrypt(), (A << np.uint64(3)) & MASK)
+    np.testing.assert_array_equal((x >> 2).decrypt(), A >> np.uint64(2))
+    # RadixInt << wraps the two's-complement pattern like the plain int.
+    sv = np.array([-3, 5, -32, 31], np.int64)
+    s = RadixInt.encrypt(ctx, sv, ND)
+    want = (sv << 1).astype(np.int64)
+    want = ((want + (1 << (2 * ND - 1))) & MASK) - (1 << (2 * ND - 1))
+    np.testing.assert_array_equal((s << 1).decrypt(), want)
+
+
+def test_add_overflows(ctx):
+    x = RadixUint.encrypt(ctx, A, ND)
+    y = RadixUint.encrypt(ctx, B, ND)
+    s, ovf = x.add_overflows(y)
+    np.testing.assert_array_equal(s.decrypt(), (A + B) & MASK)
+    import jax.numpy as jnp
+
+    got = np.asarray(ctx.decrypt(ovf))
+    np.testing.assert_array_equal(got, ((A + B) >> np.uint64(2 * ND)) & 1)
+
+
+def test_signed_add_with_overflow(ctx):
+    from rustfhe_tpu.radix import RadixInt
+
+    lo, hi = -(1 << (2 * ND - 1)), 1 << (2 * ND - 1)
+    av = np.array([31, -32, 20, -20, 1, -1], np.int64)
+    bv = np.array([1, -1, 20, -20, -1, 1], np.int64)
+    x = RadixInt.encrypt(ctx, av, ND)
+    y = RadixInt.encrypt(ctx, bv, ND)
+    s, ovf = x.add_with_overflow(y)
+    true_sum = av + bv
+    want_ovf = ((true_sum < lo) | (true_sum >= hi)).astype(np.uint64)
+    wrapped = ((true_sum + hi) & MASK) - hi
+    np.testing.assert_array_equal(s.decrypt(), wrapped)
+    np.testing.assert_array_equal(np.asarray(ctx.decrypt(ovf)), want_ovf)
+
+
+def test_scalar_mul_fast_path(ctx):
+    x = RadixUint.encrypt(ctx, A, ND)
+    for c in (0, 1, 2, 3, 10, 63):
+        got = (x * c).decrypt()
+        np.testing.assert_array_equal(got, (A * np.uint64(c)) & MASK,
+                                      err_msg=f"c={c}")
+
+
+def test_scalar_mul_full_width(ctx):
+    x = RadixUint.encrypt(ctx, np.array([13, 63, 42], np.uint64), ND)
+    got = x.mul(21, full=True).decrypt()
+    np.testing.assert_array_equal(
+        got, np.array([13, 63, 42], np.uint64) * np.uint64(21))
+
+
+@pytest.mark.slow
+def test_signed_full_width_mul(ctx):
+    from rustfhe_tpu.radix import RadixInt
+
+    av = np.array([-3, 5, -32, 31], np.int64)
+    bv = np.array([7, -6, 2, -31], np.int64)
+    x = RadixInt.encrypt(ctx, av, ND)
+    y = RadixInt.encrypt(ctx, bv, ND)
+    got = x.mul(y, full=True).decrypt()
+    np.testing.assert_array_equal(got, av * bv)
