@@ -22,7 +22,13 @@ Timing: STEPS chained iterations inside ONE jit (the relay caches
 identical executions and a dispatch costs ~5 ms, so per-call timing is
 meaningless — see step_breakdown_probe.py).
 
-Usage: RUSTFHE_ENGINE=pallas_k2 python benches/k2_floor_probe.py [B] [which...]
+Usage: RUSTFHE_ENGINE=pallas_k2 [PRESET=pbs] python benches/k2_floor_probe.py [B] [which...]
+
+PRESET=pbs runs the same ablation at params.PBS_PARAMS (N=2048, l=4,
+n=714) — the VERDICT r4 #4 ceiling attribution for the PBS-preset kernel
+(where the analytic MAC count is 5.3x the default set's while the
+VPU/VMEM mass only ~2x: the step should flip from VPU-bound to
+MXU-bound; this probe measures which).
 """
 
 import functools
@@ -49,7 +55,9 @@ from rustfhe_tpu.engine.pallas_k import (  # noqa: E402
 )
 from rustfhe_tpu import keys, trgsw  # noqa: E402
 from rustfhe_tpu.engine import get_engine  # noqa: E402
-from rustfhe_tpu.params import DEFAULT_PARAMS as P  # noqa: E402
+from rustfhe_tpu.params import DEFAULT_PARAMS, PBS_PARAMS  # noqa: E402
+
+P = PBS_PARAMS if os.environ.get("PRESET") == "pbs" else DEFAULT_PARAMS
 from rustfhe_tpu.utils.rng import binary_array  # noqa: E402
 
 I8, I32, U32 = jnp.int8, jnp.int32, jnp.uint32
@@ -204,8 +212,8 @@ def chain(name, step_fn, x0):
 
 
 def main():
-    print(f"# device: {jax.devices()[0].platform}, B={B}, {STEPS} steps/jit",
-          flush=True)
+    print(f"# device: {jax.devices()[0].platform}, B={B}, {STEPS} steps/jit, "
+          f"N={P.N} l={P.l} n={P.n}", flush=True)
     eng = get_engine("pallas_k2")
     key = jax.random.PRNGKey(0)
     s1 = binary_array(jax.random.fold_in(key, 1), (P.N,))

@@ -144,7 +144,65 @@ def main():
         bad += int((decm[:, j] != np.asarray(tabs)[j][xs[:B]]).sum())
     print(f"pbs_many(8,2) B={B}: {2 * B - bad}/{2 * B} correct "
           f"(margin {msg_m.split('margin ')[1]})", flush=True)
+
+    # ---- 4. round-5 radix API additions on device (VERDICT r4 #5).
+    # Shifts: even amounts free (digit re-index), odd amounts 1 PBS level.
+    for k in (2, 3):
+        t0 = time.perf_counter()
+        sh = a.shift_left(k)
+        jax.block_until_ready(sh.digits)
+        dt_sh = time.perf_counter() - t0
+        n_ok = int((sh.decrypt() == ((av << np.uint64(k)) & 0xFF)).sum())
+        print(f"radix shl{k} B={B}: {n_ok}/{B} correct, "
+              f"{dt_sh * 1e3:.0f} ms ({'1 PBS level' if k % 2 else 'free'}"
+              f", first call incl compile)", flush=True)
+        assert n_ok == B
+    t0 = time.perf_counter()
+    sr = a.shift_right(3)
+    jax.block_until_ready(sr.digits)
+    n_ok = int((sr.decrypt() == (av >> np.uint64(3))).sum())
+    print(f"radix shr3 B={B}: {n_ok}/{B} correct, "
+          f"{(time.perf_counter() - t0) * 1e3:.0f} ms", flush=True)
+    assert n_ok == B
+
+    # Scalar multiply fast path: x10 = shared odd shift + 2 add rounds.
+    t0 = time.perf_counter()
+    sm = a * 10
+    jax.block_until_ready(sm.digits)
+    dt_sm = time.perf_counter() - t0
+    n_ok = int((sm.decrypt() == ((av * 10) & 0xFF)).sum())
+    print(f"radix scalar x10 B={B}: {n_ok}/{B} correct, "
+          f"{dt_sm * 1e3:.0f} ms (9 levels vs the general multiply's 18; "
+          f"general measured {dt_mul * 1e3:.0f} ms above)", flush=True)
+    assert n_ok == B
+
+    # Overflow flags + signed full-width product.
+    s_o, ovf = a.add_overflows(b)
+    jax.block_until_ready(ovf)
+    n_ok = int((np.asarray(ctx.decrypt(ovf), np.uint64)
+                == ((av + bv) >> np.uint64(8))).sum())
+    print(f"radix add_overflows B={B}: {n_ok}/{B} carry flags correct",
+          flush=True)
+    assert n_ok == B
+
+    from rustfhe_tpu.radix import RadixInt
+
+    sv_a = rng.integers(-128, 128, size=B).astype(np.int64)
+    sv_b = rng.integers(-128, 128, size=B).astype(np.int64)
+    sa8 = RadixInt.encrypt(ctx, sv_a, nd)
+    sb8 = RadixInt.encrypt(ctx, sv_b, nd)
+    t0 = time.perf_counter()
+    sf = sa8.mul(sb8, full=True)
+    jax.block_until_ready(sf.digits)
+    dt_sf = time.perf_counter() - t0
+    n_ok = int((sf.decrypt() == sv_a * sv_b).sum())
+    print(f"radix SIGNED full-width mul8 B={B}: {n_ok}/{B} correct, "
+          f"{dt_sf * 1e3:.0f} ms (52 levels incl compile of the "
+          f"correction programs)", flush=True)
+    assert n_ok == B
+
     print("OK", flush=True)
+
 
 
 if __name__ == "__main__":

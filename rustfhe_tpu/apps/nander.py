@@ -234,6 +234,8 @@ RULES = """nander: evaluate logical expressions over encrypted bits.
   literals: 0 1    operators: ! (not) & (and) | (or) ^ (xor) $ (nand)
   parentheses group; binary operators chain left-associatively.
   example: (1 & 0) ^ !0
+  pipelined: K ';'-separated expressions evaluate as ONE fused batch
+  (one readback for all K results — amortizes transport).
 Ctrl-D to exit."""
 
 
@@ -286,6 +288,30 @@ def nander_console(params=None, engine_name: str | None = None, stdin=None,
     for line in stdin:
         line = line.strip()
         if not line:
+            continue
+        if ";" in line:
+            # Pipelined mode (VERDICT r4 #6): K ';'-separated expressions
+            # lower into ONE shared wire file — K results for one readback
+            # RTT, amortizing the tunnel transport over the batch.
+            try:
+                exprs = [parse_logic_expr(s.strip())
+                         for s in line.split(";") if s.strip()]
+            except ParseError as e:
+                print(f"parse error: {e}", file=stdout, flush=True)
+                continue
+            t0 = time.perf_counter()
+            if exprs and fused.fits_many(exprs):
+                bits = fused.eval_bits(exprs)
+            else:
+                bits = []
+                for e in exprs:
+                    ct = eval_logic_expr(pros, e)
+                    bits.append(int(np.asarray(ctx.decrypt(ct))))
+            dt = (time.perf_counter() - t0) * 1e6
+            print(f"res: {' '.join(str(b) for b in bits)}", file=stdout)
+            print(f"time: {dt:.0f} us total, "
+                  f"{dt / max(len(bits), 1):.0f} us/expr", file=stdout,
+                  flush=True)
             continue
         try:
             expr = parse_logic_expr(line)

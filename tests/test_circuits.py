@@ -72,6 +72,7 @@ def test_encrypted_mux_gate(ctx):
         assert got == (i1 if control else i0)
 
 
+@pytest.mark.slow  # compile-heavy: in the full suite (pytest -m ""), not the fast run
 def test_encrypted_leading_batch_axis(ctx):
     # Extra leading batch axes evaluate the whole batch per gate.
     c = ripple_carry_adder(2)
@@ -89,6 +90,7 @@ def test_encrypted_leading_batch_axis(ctx):
         assert total == a + b, (a, b, total)
 
 
+@pytest.mark.slow  # compile-heavy: in the full suite (pytest -m ""), not the fast run
 def test_large_circuit_1k_gates(ctx):
     """>=1k-gate circuit through the level-fused evaluator: 32 independent
     8-bit adders laid out side by side (wide levels, one fused bootstrap per
@@ -184,6 +186,7 @@ def test_encrypted_multiplier_3bit(ctx):
     assert np.array_equal(dec, evaluate_plain(mul, bits))
 
 
+@pytest.mark.slow  # compile-heavy: in the full suite (pytest -m ""), not the fast run
 def test_random_dag_fuzz_encrypted_vs_plain(ctx):
     """Random 48-gate DAGs over all six ops through the level-fused
     evaluator agree with plaintext evaluation (topology fuzz: mixed-op
@@ -268,6 +271,7 @@ def test_prefix_comparator_plain_exhaustive_4bit():
             assert ge == int(a >= b) and eq == int(a == b), (a, b)
 
 
+@pytest.mark.slow  # compile-heavy: in the full suite (pytest -m ""), not the fast run
 def test_encrypted_kogge_stone_adder_8bit(ctx):
     from rustfhe_tpu.apps.circuits import kogge_stone_adder
 

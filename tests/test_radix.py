@@ -224,6 +224,7 @@ def test_signed_radix_divmod(ctx):
 
 
 # ----------------------- round-5 API additions ------------------------ #
+@pytest.mark.slow  # 6 shift amounts = 6 compiled programs; full suite covers them
 def test_shift_left(ctx):
     x = RadixUint.encrypt(ctx, A, ND)
     for k in (0, 1, 2, 3, 4, 2 * ND):
@@ -232,6 +233,7 @@ def test_shift_left(ctx):
                                       err_msg=f"k={k}")
 
 
+@pytest.mark.slow  # 6 shift amounts = 6 compiled programs; full suite covers them
 def test_shift_right(ctx):
     x = RadixUint.encrypt(ctx, A, ND)
     for k in (0, 1, 2, 3, 5, 2 * ND):
@@ -281,6 +283,7 @@ def test_signed_add_with_overflow(ctx):
     np.testing.assert_array_equal(np.asarray(ctx.decrypt(ovf)), want_ovf)
 
 
+@pytest.mark.slow  # 6 shift amounts = 6 compiled programs; full suite covers them
 def test_scalar_mul_fast_path(ctx):
     x = RadixUint.encrypt(ctx, A, ND)
     for c in (0, 1, 2, 3, 10, 63):

@@ -68,3 +68,45 @@ def test_console_uses_fused_path(ctx):
                           stdout=out)
     text = out.getvalue()
     assert "res: 1" in text and "res: 0" in text
+
+
+def test_eval_bits_pipelined_matches_plain(ctx):
+    """K expressions in one fused session (eval_bits): results must match
+    the plain evaluator expression-by-expression."""
+    fused = FusedEvaluator(ctx)
+    plain = nander.PlainLogic()
+    batches = [
+        ["1 $ 0", "1 & 1", "0 | 0", "1 ^ 0"],          # K single gates
+        ["1", "!0", "(1 & 0) ^ !0"],                   # mixed depths + leaf
+        ["1 & 1 & 0 | 1", "((1|0)&(1^1))$(0|1)"],      # deeper pair
+        ["0", "1"],                                     # all leaf-only
+    ]
+    for batch in batches:
+        asts = [nander.parse_logic_expr(e) for e in batch]
+        want = [nander.eval_logic_expr(plain, a) for a in asts]
+        assert fused.fits_many(asts), batch
+        got = fused.eval_bits(asts)
+        assert got == want, batch
+
+
+def test_eval_bits_capacity(ctx):
+    fused = FusedEvaluator(ctx, width=4)
+    asts = [nander.parse_logic_expr("1 $ 0")] * 5  # K > width
+    assert not fused.fits_many(asts)
+    with pytest.raises(ValueError, match="capacities"):
+        fused.eval_bits(asts)
+
+
+def test_console_pipelined_line(ctx):
+    """A ';'-separated console line answers K results with one time line."""
+    import io
+
+    from rustfhe_tpu.apps.nander import nander_console
+
+    out = io.StringIO()
+    nander_console(params=TEST_PARAMS, engine_name="matmul",
+                   stdin=io.StringIO("1 $ 0; 1 & 1; (1 & 0) ^ !0\n"),
+                   stdout=out)
+    text = out.getvalue()
+    assert "res: 1 1 1" in text, text
+    assert "us/expr" in text, text

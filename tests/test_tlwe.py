@@ -47,7 +47,10 @@ def test_trivial_decrypts_to_message():
     assert int(np.asarray(tlwe.phase(ct, s))) == 0x12345678
 
 
-@pytest.mark.parametrize("engine_name", ["oracle", "matmul"])
+@pytest.mark.parametrize("engine_name", [
+    pytest.param("oracle", marks=pytest.mark.slow),  # 11 s of eager O(N^2) KS
+    "matmul",
+])
 def test_identity_key_switch(rng, engine_name):
     # tlwe.rs:346-396: encrypt at lv1 dimension, switch to lv0, decrypt.
     p = TEST_PARAMS

@@ -87,6 +87,7 @@ def test_cmux_selects(rng, item):
     assert np.array_equal(np.asarray(dec), np.asarray(expect))
 
 
+@pytest.mark.slow  # compile-heavy: in the full suite (pytest -m ""), not the fast run
 def test_cmux_batched(rng):
     p = TEST_PARAMS
     engine = get_engine("matmul")
