@@ -44,6 +44,12 @@ def log(msg):
 
 
 def main():
+    # Persistent compile cache (utils/cache.py): identical programs skip
+    # the minutes-long relay compiles on repeat runs; timed sections
+    # exclude compiles either way.
+    from rustfhe_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from rustfhe_tpu import gates, keys, tlwe
     from rustfhe_tpu.apps.circuits import (
         evaluate_encrypted,

@@ -44,6 +44,9 @@ WANT = [1, 1, 0, 1, 1, 0, 1, 0]
 
 
 def main():
+    from rustfhe_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     print(f"# device: {jax.devices()[0].platform} "
           f"{getattr(jax.devices()[0], 'device_kind', '?')}", flush=True)
     eng = select_fast_engine(P)

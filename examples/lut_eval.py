@@ -34,6 +34,9 @@ U32 = jnp.uint32
 
 
 def main():
+    from rustfhe_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--space", type=int, default=4,
                     help="message space (power of two; noise-checked — at the "

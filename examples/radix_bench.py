@@ -34,7 +34,20 @@ from rustfhe_tpu.radix import RadixUint
 U32 = jnp.uint32
 
 
+
+def _force(arr):
+    """Real data readback: block_until_ready is NOT a completion barrier
+    through the remote-compile relay (BENCH.md round-4 methodology) —
+    every timed section must end in an actual host transfer."""
+    import numpy as _np
+
+    return _np.asarray(arr).reshape(-1)[0]
+
+
 def main():
+    from rustfhe_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = PBS_PARAMS
     B = int(os.environ.get("BATCH", "256"))
     BP = int(os.environ.get("PBS_BATCH", "65536"))
@@ -84,10 +97,10 @@ def main():
     a = RadixUint.encrypt(ctx, av, nd)
     b = RadixUint.encrypt(ctx, bv, nd)
     s, _ = a.add_with_carry(b)  # compile
-    jax.block_until_ready(s.digits)
+    _force(s.digits[..., :1, :1])
     t0 = time.perf_counter()
     s2, _ = (s + b).add_with_carry(b)  # chained
-    jax.block_until_ready(s2.digits)
+    _force(s2.digits[..., :1, :1])
     dt_radix = (time.perf_counter() - t0) / 2
     got = s.decrypt()
     n_ok = int((got == ((av + bv) & 0xFF)).sum())
@@ -103,11 +116,11 @@ def main():
     ub = ctx.encrypt_uint(bv, 8)
     t0 = time.perf_counter()
     us = ua + ub  # includes compile of the fixed-width program
-    jax.block_until_ready(us.bits)
+    _force(us.bits[..., :1, :1])
     dt_bits_c = time.perf_counter() - t0
     t0 = time.perf_counter()
     us2 = us + ub  # chained
-    jax.block_until_ready(us2.bits)
+    _force(us2.bits[..., :1, :1])
     dt_bits = time.perf_counter() - t0
     n_ok = int((us.decrypt() == ((av + bv) & 0xFF)).sum())
     print(f"bit-circuit add8 B={B}: {n_ok}/{B} correct, "
@@ -122,10 +135,10 @@ def main():
     ok_mul, msg_mul = radix.check_radix_mul(p)
     print(f"# {msg_mul} -> ok={ok_mul}", flush=True)
     prod = a * b  # compile
-    jax.block_until_ready(prod.digits)
+    _force(prod.digits[..., :1, :1])
     t0 = time.perf_counter()
     prod2 = prod * b  # chained
-    jax.block_until_ready(prod2.digits)
+    _force(prod2.digits[..., :1, :1])
     dt_mul = time.perf_counter() - t0
     n_ok = int((prod.decrypt() == ((av * bv) & 0xFF)).sum())
     print(f"radix mul8 B={B}: {n_ok}/{B} correct, {dt_mul * 1e3:.0f} ms "
@@ -150,7 +163,7 @@ def main():
     for k in (2, 3):
         t0 = time.perf_counter()
         sh = a.shift_left(k)
-        jax.block_until_ready(sh.digits)
+        _force(sh.digits[..., :1, :1])
         dt_sh = time.perf_counter() - t0
         n_ok = int((sh.decrypt() == ((av << np.uint64(k)) & 0xFF)).sum())
         print(f"radix shl{k} B={B}: {n_ok}/{B} correct, "
@@ -159,7 +172,7 @@ def main():
         assert n_ok == B
     t0 = time.perf_counter()
     sr = a.shift_right(3)
-    jax.block_until_ready(sr.digits)
+    _force(sr.digits[..., :1, :1])
     n_ok = int((sr.decrypt() == (av >> np.uint64(3))).sum())
     print(f"radix shr3 B={B}: {n_ok}/{B} correct, "
           f"{(time.perf_counter() - t0) * 1e3:.0f} ms", flush=True)
@@ -168,7 +181,7 @@ def main():
     # Scalar multiply fast path: x10 = shared odd shift + 2 add rounds.
     t0 = time.perf_counter()
     sm = a * 10
-    jax.block_until_ready(sm.digits)
+    _force(sm.digits[..., :1, :1])
     dt_sm = time.perf_counter() - t0
     n_ok = int((sm.decrypt() == ((av * 10) & 0xFF)).sum())
     print(f"radix scalar x10 B={B}: {n_ok}/{B} correct, "
@@ -178,7 +191,7 @@ def main():
 
     # Overflow flags + signed full-width product.
     s_o, ovf = a.add_overflows(b)
-    jax.block_until_ready(ovf)
+    _force(ovf[..., :1])
     n_ok = int((np.asarray(ctx.decrypt(ovf), np.uint64)
                 == ((av + bv) >> np.uint64(8))).sum())
     print(f"radix add_overflows B={B}: {n_ok}/{B} carry flags correct",
@@ -193,7 +206,7 @@ def main():
     sb8 = RadixInt.encrypt(ctx, sv_b, nd)
     t0 = time.perf_counter()
     sf = sa8.mul(sb8, full=True)
-    jax.block_until_ready(sf.digits)
+    _force(sf.digits[..., :1, :1])
     dt_sf = time.perf_counter() - t0
     n_ok = int((sf.decrypt() == sv_a * sv_b).sum())
     print(f"radix SIGNED full-width mul8 B={B}: {n_ok}/{B} correct, "

@@ -267,6 +267,13 @@ def nander_console(params=None, engine_name: str | None = None, stdin=None,
     stdout = stdout or sys.stdout
     params = params or DEFAULT_PARAMS
 
+    # Persistent XLA compilation cache: first-use compiles through the
+    # remote relay cost minutes (610 s for the single-gate program,
+    # BENCH.md); later console sessions reuse them (utils/cache.py).
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     # Banner FIRST: auto-selection probes on device, which can take minutes
     # through a degraded remote-compile path — the user must see life.
     print(RULES, file=stdout)

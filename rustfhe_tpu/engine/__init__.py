@@ -181,12 +181,23 @@ def select_fast_engine(params=None) -> str:
 
     params = params or DEFAULT_PARAMS
     rows, digits = probe_vectors(params)
+    oracle = get_engine("oracle")
+    # The ORACLE reference runs on the CPU backend: it is exact integer
+    # arithmetic (backend-independent by construction), and the O(N^2)
+    # convolution as a TPU program costs ~50 s of device/relay time per
+    # process at N=2048 (measured round 5) vs ~2 s on host.  Candidate
+    # engines still probe ON the target device — that is the invariant.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        rows_cpu = jax.device_put(jnp.asarray(rows), cpu)
+        digits_cpu = jax.device_put(jnp.asarray(digits), cpu)
+        want = np.asarray(
+            oracle.external_product_digits(
+                oracle.prepare_trgsw(rows_cpu, params), digits_cpu, params
+            )
+        )
     rows = jnp.asarray(rows)
     digits = jnp.asarray(digits)
-    oracle = get_engine("oracle")
-    want = np.asarray(
-        oracle.external_product_digits(oracle.prepare_trgsw(rows, params), digits, params)
-    )
     override = os.environ.get("RUSTFHE_ENGINE")
     if override:
         ok, why = engine_probe_result(get_engine(override), params, rows, digits, want)
