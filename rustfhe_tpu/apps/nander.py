@@ -366,8 +366,26 @@ def hom_nand_profile(params=None, engine_name: str | None = None, iters: int = 1
 
 
 if __name__ == "__main__":
+    # ``python -m rustfhe_tpu.apps.nander`` runs THIS file as the
+    # ``__main__`` module — a second copy of every AST class alongside the
+    # canonical ``rustfhe_tpu.apps.nander`` import that replprog pattern-
+    # matches against.  Parsing with __main__'s Leaf/Nand and matching
+    # against the canonical ones raises "not an expression" (the runpy
+    # double-import trap; regression: tests/test_nander.py).  Delegate to
+    # the canonical module so one set of classes exists.
+    import os
+
+    if os.environ.get("RUSTFHE_FORCE_CPU"):
+        # The axon TPU plugin ignores JAX_PLATFORMS from the environment;
+        # forcing CPU needs the config call after import (CLAUDE.md).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from rustfhe_tpu.apps import nander as _canonical
+
     if "--profile" in sys.argv:
-        hom_nand_profile()
+        _canonical.hom_nand_profile()
     else:
         # --latency: prebuild the kernel panel tables (faster interactive
         # gates on TPU at ~12.6 GiB HBM; see keys.cloud_key_panels).
@@ -379,4 +397,5 @@ if __name__ == "__main__":
             if i + 1 >= len(sys.argv):
                 sys.exit("--keyfile needs a path prefix argument")
             kf = sys.argv[i + 1]
-        nander_console(latency_mode="--latency" in sys.argv, keyfile=kf)
+        _canonical.nander_console(latency_mode="--latency" in sys.argv,
+                                  keyfile=kf)

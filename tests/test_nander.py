@@ -104,3 +104,24 @@ def test_fhe_matches_plain():
         ct = eval_logic_expr(fhe, expr)
         got = int(np.asarray(ctx.decrypt(ct)))
         assert got == want, f"{s}: fhe={got} plain={want}"
+
+
+def test_python_dash_m_console_fused_path():
+    """Regression (round 5): ``python -m rustfhe_tpu.apps.nander`` runs the
+    module as __main__ — a SECOND copy of the AST classes — and the fused
+    evaluator's pattern matching against the canonical import then raised
+    "not an expression" on every gate expression.  The __main__ stub must
+    delegate to the canonical module.  Leaf-only and pipelined-leaf lines
+    keep this subprocess test bootstrap-free (const fast path)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "rustfhe_tpu.apps.nander"],
+        input="0\n1; 0; 1\n",
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "RUSTFHE_FORCE_CPU": "1"},
+    )
+    assert "res: 0" in r.stdout, (r.stdout, r.stderr[-2000:])
+    assert "res: 1 0 1" in r.stdout, (r.stdout, r.stderr[-2000:])
+    assert "not an expression" not in r.stderr
