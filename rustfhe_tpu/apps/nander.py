@@ -291,7 +291,14 @@ def nander_console(params=None, engine_name: str | None = None, stdin=None,
     # pre-combinations and the final decrypt all run inside the jitted
     # programs — see replprog.py).  Expressions wider than its static
     # lane/wire capacities fall back to the generic gate-by-gate path.
-    fused = FusedEvaluator(ctx)
+    # On TPU the lane width is 32: the session wall is FLAT in the lane
+    # count up to the megakernel's single-tile capacity (measured 64-66 ms
+    # at K = 1..64, BENCH.md round-5), so wide pipelined ';'-lines cost
+    # ~1-2 ms/expression sustained.  On CPU padding lanes are real work —
+    # keep the narrow file.
+    wide = jax.default_backend() == "tpu"
+    fused = FusedEvaluator(ctx, width=32 if wide else 8,
+                           max_wires=128 if wide else 64)
     for line in stdin:
         line = line.strip()
         if not line:
