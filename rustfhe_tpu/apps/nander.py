@@ -314,13 +314,27 @@ def nander_console(params=None, engine_name: str | None = None, stdin=None,
                 print(f"parse error: {e}", file=stdout, flush=True)
                 continue
             t0 = time.perf_counter()
-            if exprs and fused.fits_many(exprs):
-                bits = fused.eval_bits(exprs)
-            else:
-                bits = []
-                for e in exprs:
+            # Greedy chunking: K may exceed the wire file's lane width —
+            # evaluate in the largest fused batches that fit (each chunk =
+            # one readback); anything that doesn't fit even alone takes
+            # the generic gate-by-gate path.
+            bits = []
+            i = 0
+            while i < len(exprs):
+                chunk = exprs[i : i + fused.width]
+                while chunk and not fused.fits_many(chunk):
+                    chunk = chunk[:-1]
+                if chunk:
+                    bits.extend(fused.eval_bits(chunk))
+                    i += len(chunk)
+                    continue
+                e = exprs[i]
+                if fused.fits(e):
+                    bits.append(fused.eval_bit(e))
+                else:
                     ct = eval_logic_expr(pros, e)
                     bits.append(int(np.asarray(ctx.decrypt(ct))))
+                i += 1
             dt = (time.perf_counter() - t0) * 1e6
             print(f"res: {' '.join(str(b) for b in bits)}", file=stdout)
             print(f"time: {dt:.0f} us total, "

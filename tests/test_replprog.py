@@ -110,3 +110,21 @@ def test_console_pipelined_line(ctx):
     text = out.getvalue()
     assert "res: 1 1 1" in text, text
     assert "us/expr" in text, text
+
+
+def test_console_pipelined_chunking(ctx):
+    """A ';'-line with MORE expressions than the wire file's lane width
+    evaluates in greedy fused chunks (round-5 console chunking)."""
+    import io
+
+    from rustfhe_tpu.apps.nander import nander_console
+
+    # 10 single-gate expressions > the CPU console's width of 8.
+    exprs = ["1 $ 0", "1 & 1", "0 | 0", "1 ^ 0", "0 $ 0",
+             "1 & 0", "1 | 0", "1 ^ 1", "!0", "!1"]
+    want = "1 1 0 1 1 0 1 0 1 0"
+    out = io.StringIO()
+    nander_console(params=TEST_PARAMS, engine_name="matmul",
+                   stdin=io.StringIO("; ".join(exprs) + "\n"), stdout=out)
+    text = out.getvalue()
+    assert f"res: {want}" in text, text
