@@ -59,7 +59,13 @@ def main():
     # KEYFILE: on-disk raw-key cache (utils.serialization.cached_keys) —
     # keygen + its relay compiles run once per machine; later runs load in
     # seconds.  KEYFILE="" disables.
-    keyfile = os.environ.get("KEYFILE", f"/tmp/rustfhe_keys_{p.N}_{p.n}")
+    # Default key cache under the user's home (NOT a predictable
+    # world-writable /tmp name: the cache holds the SECRET key, and a
+    # pre-planted file at a shared path would silently supply an
+    # attacker-known key).  KEYFILE="" disables caching.
+    keyfile = os.environ.get(
+        "KEYFILE",
+        os.path.expanduser(f"~/.cache/rustfhe_tpu/keys_{p.N}_{p.n}"))
     ctx = TFHE.new(jax.random.PRNGKey(0), p, engine_name=None,
                    keyfile=keyfile or None)
     print(f"# keygen ({ctx.engine_name}): {time.perf_counter() - t0:.1f}s")

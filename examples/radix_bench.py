@@ -65,7 +65,13 @@ def main():
     # still runs the on-device exactness probe AT THIS PRESET (l=4,
     # N=2048 — the fused kernel's digit-sum bound is exactly at its
     # 128 limit here, so the probe is not optional).
-    keyfile = os.environ.get("KEYFILE", f"/tmp/rustfhe_keys_{p.N}_{p.n}")
+    # Default key cache under the user's home (NOT a predictable
+    # world-writable /tmp name: the cache holds the SECRET key, and a
+    # pre-planted file at a shared path would silently supply an
+    # attacker-known key).  KEYFILE="" disables caching.
+    keyfile = os.environ.get(
+        "KEYFILE",
+        os.path.expanduser(f"~/.cache/rustfhe_tpu/keys_{p.N}_{p.n}"))
     ctx = TFHE.new(jax.random.PRNGKey(11), p, None, keyfile=keyfile or None)
     print(f"# keygen {time.perf_counter() - t0:.1f}s "
           f"(engine {ctx.engine_name})", flush=True)

@@ -225,7 +225,18 @@ class FusedEvaluator:
         """Lower K expressions into ONE shared wire file: per-level plan
         arrays over the combined DAG plus the K root wires; None if any
         level exceeds the lane width, the wire file overflows, or K
-        exceeds the readback width."""
+        exceeds the readback width.  The last lowering is memoized by the
+        expression objects' identities, so the fits_many + eval_bits pair
+        the console issues per chunk lowers once, not twice."""
+        key = tuple(map(id, exprs))
+        cached = getattr(self, "_plan_memo", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        plan = self._plan_many_uncached(exprs)
+        self._plan_memo = (key, plan)
+        return plan
+
+    def _plan_many_uncached(self, exprs):
         if len(exprs) > self.width:
             return None
         circ, leaf_bits = exprs_to_circuit(exprs)

@@ -103,6 +103,11 @@ def gen_cloud_key(key, sk: SecretKey, params: TFHEParams, engine_name="matmul") 
 _BIG_PANEL_BUILDS = 0
 
 
+def _note_big_panel_build() -> None:
+    global _BIG_PANEL_BUILDS
+    _BIG_PANEL_BUILDS += 1
+
+
 def _device_bytes_limit():
     """The accelerator's memory capacity in bytes, or None when unknown
     (CPU backends typically expose no limit)."""
@@ -116,7 +121,7 @@ def _device_bytes_limit():
 
 
 def _guard_panel_hbm(need: int, params: TFHEParams, what: str,
-                     device_bytes_limit=None) -> None:
+                     device_bytes_limit=None) -> bool:
     """Fail with a clear error BEFORE XLA RESOURCE_EXHAUSTs on a panel build.
 
     Two documented failure modes become API guarantees here (VERDICT r4 #7):
@@ -127,10 +132,9 @@ def _guard_panel_hbm(need: int, params: TFHEParams, what: str,
         a second one serially after releasing the first RESOURCE_EXHAUSTs
         (XLA does not compact HBM), so a second large build raises.
     """
-    global _BIG_PANEL_BUILDS
     limit = device_bytes_limit if device_bytes_limit is not None else _device_bytes_limit()
     if limit is None:
-        return
+        return False
     gib = 1024.0**3
     if need > 0.92 * limit:
         raise MemoryError(
@@ -151,7 +155,8 @@ def _guard_panel_hbm(need: int, params: TFHEParams, what: str,
                 "if the first key was released.  Build each panel key in "
                 "its own process (see CLAUDE.md / BENCH.md latency mode)."
             )
-        _BIG_PANEL_BUILDS += 1
+        return True  # caller notes the build AFTER it succeeds
+    return False
 
 
 def cloud_key_panels(ck: CloudKey, params: TFHEParams, engine_name,
@@ -177,10 +182,14 @@ def cloud_key_panels(ck: CloudKey, params: TFHEParams, engine_name,
     if prep is None:
         return ck
     est = getattr(engine, "panels_nbytes", None)
+    big = False
     if est is not None:
-        _guard_panel_hbm(est(ck.bk, params), params, "cloud_key_panels",
-                         device_bytes_limit)
-    return CloudKey(bk=prep(ck.bk, params), ksk=ck.ksk)
+        big = _guard_panel_hbm(est(ck.bk, params), params,
+                               "cloud_key_panels", device_bytes_limit)
+    out = CloudKey(bk=prep(ck.bk, params), ksk=ck.ksk)
+    if big:  # note the slot only once the build actually succeeded
+        _note_big_panel_build()
+    return out
 
 
 class HybridBK(NamedTuple):
@@ -217,12 +226,13 @@ def cloud_key_hybrid(ck: CloudKey, params: TFHEParams, engine_name,
     if isinstance(ck.bk, HybridBK):
         return ck
     est = getattr(engine, "panels_nbytes", None)
+    big = False
     if est is not None:
         # full_panels prebuilds every step's table (latency-mode cost);
         # otherwise only the odd steps' half is materialized.
         total = est(ck.bk, params)
-        _guard_panel_hbm(total if full_panels else total // 2, params,
-                         "cloud_key_hybrid", device_bytes_limit)
+        big = _guard_panel_hbm(total if full_panels else total // 2, params,
+                               "cloud_key_hybrid", device_bytes_limit)
     n = ck.bk.shape[0]
     npairs = n // 2
     even = ck.bk[0 : 2 * npairs : 2]
@@ -230,7 +240,7 @@ def cloud_key_hybrid(ck: CloudKey, params: TFHEParams, engine_name,
     if full_panels:
         even = prep(even, params)
         tail = prep(tail, params) if tail.shape[0] else tail
-    return CloudKey(
+    out = CloudKey(
         bk=HybridBK(
             prep_even=even,
             panels_odd=prep(ck.bk[1 : 2 * npairs : 2], params),
@@ -238,6 +248,9 @@ def cloud_key_hybrid(ck: CloudKey, params: TFHEParams, engine_name,
         ),
         ksk=ck.ksk,
     )
+    if big:  # note the slot only once the build actually succeeded
+        _note_big_panel_build()
+    return out
 
 
 def gen_cloud_key_raw(key, sk: SecretKey, params: TFHEParams,

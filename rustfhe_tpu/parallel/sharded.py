@@ -202,7 +202,7 @@ def sharded_bootstrap_fn(mesh: Mesh, params: TFHEParams, engine_name="matmul",
 
 
 def sharded_pbs_fn(mesh: Mesh, params: TFHEParams, engine_name="matmul", *,
-                   space: int, raw: bool = False):
+                   space: int, raw: bool = False, unsafe: bool = False):
     """Jitted, mesh-sharded (multi-output) programmable bootstrap.
 
     Returns ``(bk, ksk, ct, tables) -> (..., t, n+1)``: the ciphertext
@@ -210,12 +210,16 @@ def sharded_pbs_fn(mesh: Mesh, params: TFHEParams, engine_name="matmul", *,
     replicated (one t-tuple of functions for the whole batch), the key
     switch is the model-psum path — the PBS analogue of
     ``sharded_bootstrap_fn``, built on the same rotation core as the
-    unsharded ``pbs.pbs_many`` so the two cannot drift."""
-    from ..pbs import rotate_extract_many
+    unsharded ``pbs.pbs_many`` so the two cannot drift.  The (space, t,
+    params) margin gate applies exactly as on the unsharded path
+    (``pbs._gate_margin``: raise < 3 calibrated sigma, warn < 5;
+    ``unsafe=True`` skips it) — sharding does not change the noise."""
+    from ..pbs import _gate_margin, rotate_extract_many
 
     engine = resolve_engine(engine_name)
 
     def run(bk, ksk_local, ct_local, tables):
+        _gate_margin(params, space, tables.shape[-2], unsafe, "sharded_pbs")
         lv1 = rotate_extract_many(bk, ct_local, tables, space, params,
                                   engine, raw=raw)
         return _key_switch_local(lv1, ksk_local, params, engine, "model")

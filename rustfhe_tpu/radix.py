@@ -395,12 +395,14 @@ class RadixUint:
         return self.shift_right(k)
 
     # ----------------------- overflow flags --------------------------- #
-    def _pbs_bit_to_gate(self, ct, table_on_space) -> jnp.ndarray:
+    def _pbs_bit_to_gate(self, ct, table_on_space,
+                         unsafe: bool = False) -> jnp.ndarray:
         """One raw 1-lane PBS re-encoding a space-8 value as a GATE bit."""
         p = self.ctx.params
         mu, neg_mu = p.mu, (-p.mu) & 0xFFFFFFFF
         tab = np.where(table_on_space, mu, neg_mu).astype(np.uint32)
-        return self._pbs_level(ct[None], tab[None], raw=True)[0]
+        return self._pbs_level(ct[None], tab[None], raw=True,
+                               unsafe=unsafe)[0]
 
     def add_overflows(self, other, *, use_many: bool = False,
                       unsafe: bool = False):
@@ -410,7 +412,7 @@ class RadixUint:
         s, carry = self.add_with_carry(other, use_many=use_many,
                                        unsafe=unsafe)
         x = np.arange(SPACE)
-        ovf = self._pbs_bit_to_gate(carry, x >= 1)
+        ovf = self._pbs_bit_to_gate(carry, x >= 1, unsafe=unsafe)
         return s, ovf
 
     # ------------------------ multiplication -------------------------- #
@@ -558,7 +560,7 @@ class RadixUint:
     __rmul__ = __mul__
 
     # ------------------------- comparisons ---------------------------- #
-    def _digit_rel_bits(self, other):
+    def _digit_rel_bits(self, other, unsafe: bool = False):
         """Per-digit (lt, eq) GATE-encoded bit ciphertexts, ONE bootstrap
         level: lookup on d_i = a_i - b_i + 4 in [1, 7] with raw +-mu
         tables (pbs.py raw mode emits arbitrary output encodings)."""
@@ -576,14 +578,14 @@ class RadixUint:
         cts = jnp.moveaxis(cts, -2, 0)  # (2*nd, ..., n+1)
         tabs = np.concatenate([np.tile(t_lt, (a.ndigits, 1)),
                                np.tile(t_eq, (a.ndigits, 1))])
-        out = self._pbs_level(cts, tabs, raw=True)
+        out = self._pbs_level(cts, tabs, raw=True, unsafe=unsafe)
         lt = jnp.moveaxis(out[: a.ndigits], 0, -2)
         eq = jnp.moveaxis(out[a.ndigits :], 0, -2)
         return lt, eq  # (..., ndigits, n+1) gate bits
 
-    def _compare(self, other):
+    def _compare(self, other, unsafe: bool = False):
         """(lt, eq) encrypted GATE bits (composable with gates/ints)."""
-        lt_d, eq_d = self._digit_rel_bits(other)
+        lt_d, eq_d = self._digit_rel_bits(other, unsafe=unsafe)
         ctx = self.ctx
         # MSB-first combine: lt = lt_hi | (eq_hi & lt_lo); eq = AND-tree.
         lt = lt_d[..., -1, :]
@@ -593,27 +595,27 @@ class RadixUint:
             eq = ctx.and_(eq, eq_d[..., i, :])
         return lt, eq
 
-    def lt(self, other):
-        return self._compare(other)[0]
+    def lt(self, other, *, unsafe: bool = False):
+        return self._compare(other, unsafe=unsafe)[0]
 
-    def eq(self, other):
-        return self._compare(other)[1]
+    def eq(self, other, *, unsafe: bool = False):
+        return self._compare(other, unsafe=unsafe)[1]
 
-    def le(self, other):
-        lt, eq = self._compare(other)
+    def le(self, other, *, unsafe: bool = False):
+        lt, eq = self._compare(other, unsafe=unsafe)
         return self.ctx.or_(lt, eq)
 
-    def gt(self, other):
-        return tlwe.neg(self.le(other))
+    def gt(self, other, *, unsafe: bool = False):
+        return tlwe.neg(self.le(other, unsafe=unsafe))
 
-    def ge(self, other):
-        return tlwe.neg(self.lt(other))
+    def ge(self, other, *, unsafe: bool = False):
+        return tlwe.neg(self.lt(other, unsafe=unsafe))
 
-    def ne(self, other):
-        return tlwe.neg(self.eq(other))
+    def ne(self, other, *, unsafe: bool = False):
+        return tlwe.neg(self.eq(other, unsafe=unsafe))
 
     # -------------------------- selection ----------------------------- #
-    def select(self, cond, other) -> "RadixUint":
+    def select(self, cond, other, *, unsafe: bool = False) -> "RadixUint":
         """cond ? self : other with an encrypted GATE bit condition.
 
         PBS digits cannot be multiplied by a ciphertext directly, so the
@@ -623,17 +625,17 @@ class RadixUint:
         level) — 4 bootstrap levels total, every lookup at the add path's
         margin."""
         a, b = self._coerce(other)
-        xa, xb = a.to_bits(), b.to_bits()
+        xa, xb = a.to_bits(unsafe=unsafe), b.to_bits(unsafe=unsafe)
         sel = xa.select(cond, xb)
-        return type(a).from_bits(sel, ndigits=a.ndigits)
+        return type(a).from_bits(sel, ndigits=a.ndigits, unsafe=unsafe)
 
-    def min_(self, other):
+    def min_(self, other, *, unsafe: bool = False):
         a, b = self._coerce(other)
-        return a.select(a.lt(b), b)
+        return a.select(a.lt(b, unsafe=unsafe), b, unsafe=unsafe)
 
-    def max_(self, other):
+    def max_(self, other, *, unsafe: bool = False):
         a, b = self._coerce(other)
-        return a.select(a.gt(b), b)
+        return a.select(a.gt(b, unsafe=unsafe), b, unsafe=unsafe)
 
     # ------------------ bridge-backed derived ops --------------------- #
     # Division and bitwise ops have no native digit-wise form (bitwise
@@ -641,18 +643,19 @@ class RadixUint:
     # encrypted selects) — they route through the bit bridges, paying 2
     # extra bootstrap levels total on top of the bit-circuit cost.  The
     # hot ops (+ - * compare select) stay native-radix.
-    def _via_bits(self, other, op):
+    def _via_bits(self, other, op, unsafe: bool = False):
         a, b = self._coerce(other)
-        out = op(a.to_bits(), b.to_bits())
-        return type(a).from_bits(out, ndigits=a.ndigits)
+        out = op(a.to_bits(unsafe=unsafe), b.to_bits(unsafe=unsafe))
+        return type(a).from_bits(out, ndigits=a.ndigits, unsafe=unsafe)
 
-    def divmod(self, other):
+    def divmod(self, other, *, unsafe: bool = False):
         """(quotient, remainder): unsigned restoring division through the
         bit bridge (div-by-zero: q = all-ones, r = self)."""
         a, b = self._coerce(other)
-        q_bits, r_bits = a.to_bits().divmod(b.to_bits())
-        return (type(a).from_bits(q_bits, ndigits=a.ndigits),
-                type(a).from_bits(r_bits, ndigits=a.ndigits))
+        q_bits, r_bits = a.to_bits(unsafe=unsafe).divmod(
+            b.to_bits(unsafe=unsafe))
+        return (type(a).from_bits(q_bits, ndigits=a.ndigits, unsafe=unsafe),
+                type(a).from_bits(r_bits, ndigits=a.ndigits, unsafe=unsafe))
 
     def __floordiv__(self, other):
         return self.divmod(other)[0]
@@ -670,7 +673,7 @@ class RadixUint:
         return self._via_bits(other, lambda x, y: x ^ y)
 
     # ----------------------- bit-world bridges ------------------------ #
-    def to_bits(self):
+    def to_bits(self, *, unsafe: bool = False):
         """RadixUint -> ints.FheUint (gate-encoded bit planes), ONE
         bootstrap level: every digit's (bit0, bit1) looked up with raw
         +-mu tables in one batched PBS."""
@@ -685,7 +688,7 @@ class RadixUint:
         cts = jnp.moveaxis(cts, -2, 0)
         tabs = np.concatenate([np.tile(t_b0, (self.ndigits, 1)),
                                np.tile(t_b1, (self.ndigits, 1))])
-        out = self._pbs_level(cts, tabs, raw=True)
+        out = self._pbs_level(cts, tabs, raw=True, unsafe=unsafe)
         b0 = jnp.moveaxis(out[: self.ndigits], 0, -2)
         b1 = jnp.moveaxis(out[self.ndigits :], 0, -2)
         bits = jnp.stack([b0, b1], axis=-2)  # (..., nd, 2, n+1)
@@ -693,7 +696,8 @@ class RadixUint:
             self.batch_shape + (self.width, self.digits.shape[-1])))
 
     @classmethod
-    def from_bits(cls, x, *, ndigits: int | None = None) -> "RadixUint":
+    def from_bits(cls, x, *, ndigits: int | None = None,
+                  unsafe: bool = False) -> "RadixUint":
         """ints.FheUint -> RadixUint, ONE bootstrap level: each gate bit
         is bootstrapped to PBS-domain {0, 1} (space=8), then digits form
         as the LINEAR combination b0 + 2*b1."""
@@ -719,7 +723,7 @@ class RadixUint:
         cts = cts.at[..., 0].add(shift)
         tab = jnp.asarray(np.array([0, one_enc], np.uint32))
         vals = _pbs.pbs(ctx.ck, cts, tab, space=2, params=p,
-                        engine_name=ctx.engine_name, raw=True)
+                        engine_name=ctx.engine_name, raw=True, unsafe=unsafe)
         vals = jnp.moveaxis(vals, 0, -2)  # (..., w, n+1) PBS-domain bits
         digs = []
         for i in range(nd):
@@ -741,9 +745,9 @@ class RadixInt(RadixUint):
     unsigned order by flipping the top digit's high bit — one extra
     2-lane PBS level (the flip ``x ^ 2`` is not linear on PBS digits);
     ``abs_`` routes through the bit bridge.  The full-width product
-    raises: sign extension of radix digits is data-dependent (it would
-    silently compute the unsigned product otherwise — the FheInt.mul_full
-    lesson)."""
+    (``mul(full=True)``) uses the sign-extension identity
+    ``a*b = a_u*b_u - 2^w(sa*b_u + sb*a_u)`` — see its docstring for the
+    level costs."""
 
     @staticmethod
     def _to_digits(values, ndigits: int) -> jnp.ndarray:
@@ -763,19 +767,20 @@ class RadixInt(RadixUint):
     def _like(self, digits) -> "RadixInt":
         return RadixInt(self.ctx, digits)
 
-    def _bias_top(self):
+    def _bias_top(self, unsafe: bool = False):
         """Flip the top digit's high bit (x ^ 2) with one 1-lane PBS:
         maps two's-complement order onto unsigned order."""
         x = np.arange(SPACE, dtype=np.uint32)
         tab = np.where(x < MSG_MOD, x ^ 2, x)  # identity on carry range
         top = self._pbs_level(self.digits[None, ..., -1, :],
-                              tab[None])[0]
+                              tab[None], unsafe=unsafe)[0]
         return self._like(jnp.concatenate(
             [self.digits[..., :-1, :], top[..., None, :]], axis=-2))
 
-    def _compare(self, other):
+    def _compare(self, other, unsafe: bool = False):
         a, b = self._coerce(other)
-        return RadixUint._compare(a._bias_top(), b._bias_top())
+        return RadixUint._compare(a._bias_top(unsafe), b._bias_top(unsafe),
+                                  unsafe=unsafe)
 
     def add_with_overflow(self, other, *, use_many: bool = False,
                           unsafe: bool = False):
@@ -855,22 +860,22 @@ class RadixInt(RadixUint):
             _corr([prods[nd + i] for i in range(nd)]), unsafe=unsafe)
         return RadixInt(a.ctx, res.digits)
 
-    def divmod(self, other):
+    def divmod(self, other, *, unsafe: bool = False):
         """Signed TRUNCATED division (C/Rust semantics) through the bit
         bridge (FheInt.divmod)."""
         from .ints import FheInt
 
         a, b = self._coerce(other)
-        fa = FheInt(a.ctx, a.to_bits().bits)
-        fb = FheInt(b.ctx, b.to_bits().bits)
+        fa = FheInt(a.ctx, a.to_bits(unsafe=unsafe).bits)
+        fb = FheInt(b.ctx, b.to_bits(unsafe=unsafe).bits)
         q_bits, r_bits = fa.divmod(fb)
-        return (type(a).from_bits(q_bits, ndigits=a.ndigits),
-                type(a).from_bits(r_bits, ndigits=a.ndigits))
+        return (type(a).from_bits(q_bits, ndigits=a.ndigits, unsafe=unsafe),
+                type(a).from_bits(r_bits, ndigits=a.ndigits, unsafe=unsafe))
 
-    def abs_(self):
-        bits = self.to_bits()
+    def abs_(self, *, unsafe: bool = False):
+        bits = self.to_bits(unsafe=unsafe)
         from .ints import FheInt
 
         sbits = FheInt(self.ctx, bits.bits)
         return type(self).from_bits(FheInt(self.ctx, sbits.abs_().bits),
-                                    ndigits=self.ndigits)
+                                    ndigits=self.ndigits, unsafe=unsafe)

@@ -33,6 +33,8 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
 
     if path is None:
         path = os.environ.get("RUSTFHE_COMPILE_CACHE")
+        if path:  # env paths get the same per-backend split (see above)
+            path = f"{path}-{jax.default_backend()}"
         if path is None:
             # Built-in default: only on TPU, with a per-backend pool.  CPU
             # compiles are sub-second (nothing to save), and this

@@ -44,12 +44,19 @@ def _parse_header(arr: np.ndarray) -> TFHEParams:
 
 
 def save_secret_key(path: str, sk: SecretKey, params: TFHEParams) -> None:
+    import os
+
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
     np.savez_compressed(
         path,
         header=_params_header(params),
         lv0=np.asarray(sk.lv0, np.uint32),
         lv1=np.asarray(sk.lv1, np.uint32),
     )
+    # SECRET key material: owner-only, regardless of umask.
+    real = path if path.endswith(".npz") else path + ".npz"
+    os.chmod(real, 0o600)
 
 
 def load_secret_key(path: str) -> tuple[SecretKey, TFHEParams]:

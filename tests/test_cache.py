@@ -14,10 +14,11 @@ def test_enable_and_disable(tmp_path, monkeypatch):
         # Empty env value disables without touching config further.
         monkeypatch.setenv("RUSTFHE_COMPILE_CACHE", "")
         assert enable_compilation_cache() is None
-        # Env path wins over the default.
+        # Env path wins over the default — and gets the per-backend
+        # suffix (cross-backend pools must never share AOT entries).
         q = str(tmp_path / "xla2")
         monkeypatch.setenv("RUSTFHE_COMPILE_CACHE", q)
-        assert enable_compilation_cache() == q
+        assert enable_compilation_cache() == f"{q}-{jax.default_backend()}"
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
 

@@ -50,8 +50,16 @@ def test_n2048_estimate_matches_documented_size():
 def test_one_large_panel_key_per_process(monkeypatch):
     monkeypatch.setattr(keys, "_BIG_PANEL_BUILDS", 0)
     need = int(12.6 * GIB)  # the default-set panel table
-    keys._guard_panel_hbm(need, DEFAULT_PARAMS, "cloud_key_panels",
-                          device_bytes_limit=V5E_HBM)  # first build: fine
+    # First build passes the guard; the slot is consumed only once the
+    # build SUCCEEDS (a failed build must not block retries — round-5
+    # review fix), which callers signal via _note_big_panel_build.
+    assert keys._guard_panel_hbm(need, DEFAULT_PARAMS, "cloud_key_panels",
+                                 device_bytes_limit=V5E_HBM) is True
+    assert keys._BIG_PANEL_BUILDS == 0  # guard alone never consumes
+    # Retry after a hypothetical failure: still allowed.
+    assert keys._guard_panel_hbm(need, DEFAULT_PARAMS, "cloud_key_panels",
+                                 device_bytes_limit=V5E_HBM) is True
+    keys._note_big_panel_build()  # the build succeeded
     with pytest.raises(MemoryError, match="one large panel/hybrid key"):
         keys._guard_panel_hbm(need, DEFAULT_PARAMS, "cloud_key_panels",
                               device_bytes_limit=V5E_HBM)

@@ -309,3 +309,21 @@ def test_signed_full_width_mul(ctx):
     y = RadixInt.encrypt(ctx, bv, ND)
     got = x.mul(y, full=True).decrypt()
     np.testing.assert_array_equal(got, av * bv)
+
+
+def test_comparisons_and_bridges_gated_at_default():
+    """Round-5 review fix: the margin gate reaches comparisons and bit
+    bridges too (they run space-8 lookups), raising at DEFAULT_PARAMS
+    BEFORE any compile — and every public method now exposes the
+    unsafe=True escape hatch in its signature."""
+    import inspect
+
+    ctx = TFHE(None, None, DEFAULT_PARAMS, "matmul")
+    a = RadixUint(ctx, np.zeros((1, 2, DEFAULT_PARAMS.n + 1), np.uint32))
+    for op in (lambda: a.lt(a), lambda: a.eq(a), lambda: a.to_bits()):
+        with pytest.raises(ValueError, match="lower-bound margin"):
+            op()
+    for name in ("lt", "eq", "le", "gt", "ge", "ne", "to_bits", "select",
+                 "min_", "max_", "divmod", "add_overflows"):
+        sig = inspect.signature(getattr(RadixUint, name))
+        assert "unsafe" in sig.parameters, name
