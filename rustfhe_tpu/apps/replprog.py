@@ -42,7 +42,7 @@ from ..bootstrap import bootstrap, gate_bootstrapping_tlwe2tlwe
 from ..engine import resolve_engine
 from ..gates import PRE_COEFFS
 from . import nander
-from .circuits import Circuit, lower
+from .circuits import Circuit, lower, optimize
 
 U32 = jnp.uint32
 I32 = jnp.int32
@@ -61,19 +61,30 @@ def _count_leaves(e) -> int:
 
 
 def exprs_to_circuit(exprs) -> tuple[Circuit, list[int]]:
-    """nander ASTs -> (ONE Circuit with an input wire per Leaf occurrence
-    and one output per expression, leaf bit values).  A shared circuit is
-    what lets K pipelined expressions run as one fused session
-    (FusedEvaluator.eval_bits)."""
+    """nander ASTs -> (ONE Circuit with an input wire per DISTINCT leaf
+    value and one output per expression, leaf bit values).  A shared
+    circuit is what lets K pipelined expressions run as one fused session
+    (FusedEvaluator.eval_bits).
+
+    Leaves are deduplicated BY VALUE: two ``1`` literals are the same
+    deterministic trivial encoding (FusedEvaluator.init_wires), so they
+    may share one input wire — which in turn lets the optimizer pass
+    (circuits.optimize) merge identical subexpressions ACROSS the K
+    pipelined expressions into one bootstrap lane."""
     n_leaves = sum(_count_leaves(e) for e in exprs)
-    c = Circuit(n_inputs=max(n_leaves, 1))
+    n_in = min(max(n_leaves, 1), 2)  # <= 2 distinct leaf values exist
+    c = Circuit(n_inputs=n_in)
     leaves: list[int] = []
+    leaf_wire: dict[int, int] = {}
 
     def walk(e) -> int:
         match e:
             case nander.Leaf(value=v):
-                leaves.append(int(bool(v)))
-                return len(leaves) - 1
+                b = int(bool(v))
+                if b not in leaf_wire:
+                    leaf_wire[b] = len(leaves)
+                    leaves.append(b)
+                return leaf_wire[b]
             case nander.Not(lhs=l):
                 return c.not_(walk(l))
             case nander.Nand(lhs=l, rhs=r):
@@ -87,6 +98,9 @@ def exprs_to_circuit(exprs) -> tuple[Circuit, list[int]]:
         raise TypeError(f"not an expression: {e!r}")
 
     c.outputs = [walk(e) for e in exprs]
+    # Pad so len(leaves) == n_inputs (evaluate_plain indexes every input
+    # wire; a pad wire feeds no gate, so its value is irrelevant).
+    leaves += [0] * (n_in - len(leaves))
     return c, leaves
 
 
@@ -178,7 +192,8 @@ class FusedEvaluator:
         """Lower to per-level host-side plan arrays; None if it doesn't fit."""
         circ, leaf_bits = expr_to_circuit(expr)
         if not circ.gates:  # leaf-only expression: no device work at all
-            return ("const", leaf_bits[0] if leaf_bits else 0)
+            return ("const", leaf_bits[circ.outputs[0]] if leaf_bits else 0)
+        circ = optimize(circ)  # exact CSE+DCE: fewer lanes per level
         ops, in_a, in_b, out_w, n_wires = lower(circ)
         # +1 trash wire for pad lanes.
         if n_wires + 1 > self.max_wires:
@@ -240,9 +255,10 @@ class FusedEvaluator:
         if len(exprs) > self.width:
             return None
         circ, leaf_bits = exprs_to_circuit(exprs)
-        roots = list(circ.outputs)
         if not circ.gates:  # all leaf-only: no device work at all
-            return ("const", [leaf_bits[r] for r in roots])
+            return ("const", [leaf_bits[r] for r in circ.outputs])
+        circ = optimize(circ)  # merges shared subexpressions ACROSS the K
+        roots = list(circ.outputs)
         ops, in_a, in_b, out_w, n_wires = lower(circ)
         if n_wires + 1 > self.max_wires:
             return None

@@ -51,8 +51,10 @@ def test_fused_eval_matches_plain(ctx):
 
 def test_capacity_fallback(ctx):
     # A level wider than the lane cap must be reported as not fitting.
+    # The level-1 gates must be DISTINCT: identical subexpressions now
+    # collapse to one lane (circuits.optimize CSE + leaf dedup).
     ev = FusedEvaluator(ctx, width=2, max_wires=16)
-    wide = " ^ ".join(["(1 & 0)"] * 4)  # 4 ANDs share level 1
+    wide = "(1 & 0) ^ (0 | 1) ^ (1 & 1) ^ (0 | 0)"  # 4 distinct level-1 gates
     ast = nander.parse_logic_expr(wide)
     assert not ev.fits(ast)
     with pytest.raises(ValueError, match="static capacities"):
