@@ -226,6 +226,68 @@ def lower(circuit: Circuit):
     )
 
 
+def lower_folded(circuit: Circuit):
+    """``lower`` + NOT elimination.
+
+    NOT is FREE in TFHE: the binary encoding is ±mu, so enc(!b) is exactly
+    ``tlwe.neg(enc(b))`` — an elementwise wrapping negation, no bootstrap
+    (the reference's gate-level ``hom_not`` still bootstraps for API
+    parity with ``tfhe.rs:66-71``; inside a CIRCUIT the refresh is
+    pointless, because every consumer's pre-combination is linear).  A
+    ``not`` gate therefore costs neither a bootstrap lane nor a level:
+
+      * each consumer flips the sign of the corresponding coefficient
+        (``ca*(-x) = (-ca)*x`` mod 2^32) — noise magnitude is unchanged,
+        so gate margins are identical;
+      * NOT chains collapse (!!x = x);
+      * a negated circuit OUTPUT is one elementwise negation at
+        extraction (``evaluate_encrypted`` applies it in-program).
+
+    mux lowers to and/andn/or as in ``lower``.  Returns
+    ``(coeffs (G, 3) int64, in_a, in_b, out_w, n_wires,
+    out_src (n_outputs,) int64, out_neg (n_outputs,) bool)`` over the
+    EMITTED (non-NOT) gates; an all-NOT circuit emits zero gates.
+    """
+    src = {w: (w, False) for w in range(circuit.n_inputs)}
+    coeffs, in_a, in_b, outs = [], [], [], []
+    next_wire = circuit.n_wires
+
+    def emit(op, a, b, out):
+        aw, an = src.get(a, (a, False))
+        bw, bn = src.get(b, (b, False))
+        ca, cb, cm = _COEFFS[op]
+        coeffs.append((-ca if an else ca, -cb if bn else cb, cm))
+        in_a.append(aw)
+        in_b.append(bw)
+        outs.append(out)
+        src[out] = (out, False)
+
+    for g in circuit.gates:
+        if g.op == "not":
+            w, n = src.get(g.inputs[0], (g.inputs[0], False))
+            src[g.output] = (w, not n)
+        elif g.op == "mux":
+            c, i0, i1 = g.inputs
+            w1, w2 = next_wire, next_wire + 1
+            next_wire += 2
+            emit("and", c, i1, w1)
+            emit("andn", c, i0, w2)
+            emit("or", w1, w2, g.output)
+        else:
+            emit(g.op, g.inputs[0], g.inputs[1], g.output)
+
+    out_src = [src.get(o, (o, False)) for o in circuit.outputs]
+    return (
+        np.array(coeffs, np.int64).reshape(-1, 3),
+        np.array(in_a, np.int64),
+        np.array(in_b, np.int64),
+        np.array(outs, np.int64),
+        next_wire,
+        np.array([w for w, _ in out_src], np.int64),
+        np.array([n for _, n in out_src], bool),
+    )
+
+
 def evaluate_encrypted(circuit: Circuit, ctx, ct_inputs,
                        fixed_width: int | None = None) -> jnp.ndarray:
     """Level-fused batched FHE evaluation.
@@ -253,12 +315,16 @@ def evaluate_encrypted(circuit: Circuit, ctx, ct_inputs,
     from .. import native
 
     circuit = optimize(circuit)  # exact CSE+DCE: fewer bootstrap lanes
-    ops, in_a, in_b, out_w, n_wires = lower(circuit)
-    n_gates = len(ops)
-    inputs3 = np.stack([in_a, in_b, np.full(n_gates, -1, np.int64)], axis=1)
-    levels, depth = native.levelize(n_gates, n_wires, circuit.n_inputs, inputs3, out_w)
+    coeff, in_a, in_b, out_w, n_wires, out_src, out_neg = lower_folded(circuit)
+    n_gates = len(out_w)
+    if n_gates:
+        inputs3 = np.stack([in_a, in_b, np.full(n_gates, -1, np.int64)], axis=1)
+        levels, depth = native.levelize(
+            n_gates, n_wires, circuit.n_inputs, inputs3, out_w)
+    else:  # all-NOT / pass-through circuit: no bootstraps at all
+        levels, depth = np.zeros(0, np.int64), 0
 
-    coeff = np.array([_COEFFS[o] for o in ops], np.int64) & 0xFFFFFFFF  # (G, 3)
+    coeff = coeff & 0xFFFFFFFF  # (G, 3) folded signs, mod 2^32
 
     # Wire-major storage: (n_wires, ..., n+1).
     ct_inputs = jnp.asarray(ct_inputs, U32)
@@ -291,7 +357,10 @@ def evaluate_encrypted(circuit: Circuit, ctx, ct_inputs,
         )
         outs = ctx.bootstrap_raw(pre)
         wires = wires.at[jnp.asarray(out_w[sel])].set(outs[:k])
-    result = wires[jnp.asarray(np.array(circuit.outputs, np.int64))]
+    result = wires[jnp.asarray(out_src)]
+    if out_neg.any():  # negated outputs: free elementwise tlwe.neg
+        mask = jnp.asarray(out_neg).reshape((-1,) + (1,) * (len(lead) + 1))
+        result = jnp.where(mask, (U32(0) - result).astype(U32), result)
     return jnp.moveaxis(result, 0, -2)
 
 

@@ -40,9 +40,8 @@ import numpy as np
 from .. import tlwe
 from ..bootstrap import bootstrap, gate_bootstrapping_tlwe2tlwe
 from ..engine import resolve_engine
-from ..gates import PRE_COEFFS
 from . import nander
-from .circuits import Circuit, lower, optimize
+from .circuits import Circuit, lower_folded, optimize
 
 U32 = jnp.uint32
 I32 = jnp.int32
@@ -194,7 +193,10 @@ class FusedEvaluator:
         if not circ.gates:  # leaf-only expression: no device work at all
             return ("const", leaf_bits[circ.outputs[0]] if leaf_bits else 0)
         circ = optimize(circ)  # exact CSE+DCE: fewer lanes per level
-        ops, in_a, in_b, out_w, n_wires = lower(circ)
+        coeff, in_a, in_b, out_w, n_wires, out_src, out_neg = lower_folded(circ)
+        root, root_neg = int(out_src[0]), bool(out_neg[0])
+        if len(out_w) == 0:  # NOT chain over a leaf: still no device work
+            return ("const", leaf_bits[root] ^ root_neg)
         # +1 trash wire for pad lanes.
         if n_wires + 1 > self.max_wires:
             return None
@@ -202,12 +204,11 @@ class FusedEvaluator:
         for w in range(circ.n_inputs):
             level_of[w] = 0
         levels: dict[int, list[int]] = {}
-        for g in range(len(ops)):
+        for g in range(len(out_w)):
             lv = 1 + max(level_of.get(in_a[g], 0), level_of.get(in_b[g], 0))
             level_of[out_w[g]] = lv
             levels.setdefault(lv, []).append(g)
         depth = max(levels)
-        root = circ.outputs[0]
         plans = []
         for lv in range(1, depth):
             gsel = levels[lv]
@@ -219,18 +220,21 @@ class FusedEvaluator:
             io = np.array([out_w[g] for g in gsel] + [self.max_wires - 1] * pad,
                           np.int32)
             cs = np.array(
-                [PRE_COEFFS[ops[g]] for g in gsel] + [(0, 0, 0)] * pad,
+                [coeff[g] for g in gsel] + [(0, 0, 0)] * pad,
                 np.int64) & 0xFFFFFFFF
             plans.append((ia, ib, io, cs.astype(np.uint32)))
         # Final level: the root gate only (same-level non-root gates feed
-        # nothing — dead code an expression can't produce).
+        # nothing — dead code an expression can't produce; NOT folding
+        # keeps the root gate at the deepest level since every emitted
+        # gate is its ancestor).  A negated root flips the decrypted bit
+        # host-side (free).
         root_gates = [g for g in levels[depth] if out_w[g] == root]
         assert len(root_gates) == 1, root_gates
         g = root_gates[0]
         fin = (np.array([in_a[g], in_b[g]], np.int32),
-               (np.array(PRE_COEFFS[ops[g]], np.int64)
+               (np.array(coeff[g], np.int64)
                 & 0xFFFFFFFF).astype(np.uint32))
-        return ("run", leaf_bits, circ.n_inputs, plans, fin)
+        return ("run", leaf_bits, circ.n_inputs, plans, fin, root_neg)
 
     def fits(self, expr) -> bool:
         return self._plan(expr) is not None
@@ -258,13 +262,16 @@ class FusedEvaluator:
         if not circ.gates:  # all leaf-only: no device work at all
             return ("const", [leaf_bits[r] for r in circ.outputs])
         circ = optimize(circ)  # merges shared subexpressions ACROSS the K
-        roots = list(circ.outputs)
-        ops, in_a, in_b, out_w, n_wires = lower(circ)
+        coeff, in_a, in_b, out_w, n_wires, out_src, out_neg = lower_folded(circ)
+        if len(out_w) == 0:  # every expression folded to a (±) leaf
+            return ("const",
+                    [leaf_bits[int(w)] ^ bool(n)
+                     for w, n in zip(out_src, out_neg)])
         if n_wires + 1 > self.max_wires:
             return None
         level_of = {w: 0 for w in range(circ.n_inputs)}
         levels: dict[int, list[int]] = {}
-        for g in range(len(ops)):
+        for g in range(len(out_w)):
             lv = 1 + max(level_of.get(in_a[g], 0), level_of.get(in_b[g], 0))
             level_of[out_w[g]] = lv
             levels.setdefault(lv, []).append(g)
@@ -280,10 +287,12 @@ class FusedEvaluator:
                 [out_w[g] for g in gsel] + [self.max_wires - 1] * pad,
                 np.int32)
             cs = np.array(
-                [PRE_COEFFS[ops[g]] for g in gsel] + [(0, 0, 0)] * pad,
+                [coeff[g] for g in gsel] + [(0, 0, 0)] * pad,
                 np.int64) & 0xFFFFFFFF
             plans.append((ia, ib, io, cs.astype(np.uint32)))
-        return ("runK", leaf_bits, plans, roots)
+        # Roots may resolve to leaf wires (leaf-only expressions in the
+        # mix) and may carry a free NOT: the decrypted bit flips host-side.
+        return ("runK", leaf_bits, plans, out_src, out_neg)
 
     def fits_many(self, exprs) -> bool:
         return self._plan_many(exprs) is not None
@@ -302,7 +311,7 @@ class FusedEvaluator:
                              "evaluator's static capacities")
         if plan[0] == "const":
             return [int(b) for b in plan[1]]
-        _, leaf_bits, plans, roots = plan
+        _, leaf_bits, plans, roots, roots_neg = plan
         p = self.ctx.params
         leaves = np.full(self.max_wires, 2, np.uint32)
         leaves[: len(leaf_bits)] = np.asarray(leaf_bits, np.uint32)
@@ -318,7 +327,7 @@ class FusedEvaluator:
         rootv[: len(roots)] = np.asarray(roots, np.int32)
         bits = self._decrypt_many(self.ctx.sk.lv0, wires, rootv)
         arr = np.asarray(jax.block_until_ready(bits))
-        return [int(arr[i]) for i in range(len(roots))]
+        return [int(arr[i]) ^ bool(roots_neg[i]) for i in range(len(roots))]
 
     def eval_bit(self, expr, _nonce=None) -> int:
         """Evaluate to a decrypted bit: depth device dispatches total.
@@ -332,7 +341,7 @@ class FusedEvaluator:
                              "static capacities")
         if plan[0] == "const":
             return int(plan[1])
-        _, leaf_bits, n_inputs, plans, (iab, coeff) = plan
+        _, leaf_bits, n_inputs, plans, (iab, coeff), root_neg = plan
         p = self.ctx.params
         # Leaf encodings travel as a (MW,) byte vector; the wire file is
         # built in-program (see init_wires) so no large host->device push
@@ -345,10 +354,10 @@ class FusedEvaluator:
         if not plans:  # depth-1: one dispatch, byte-sized operands
             bit = self._single_gate(ck.bk, self.ctx.sk.lv1, leaves, nonce,
                                     iab, coeff)
-            return int(jax.block_until_ready(bit))
+            return int(jax.block_until_ready(bit)) ^ root_neg
         ia, ib, io, cs = plans[0]
         wires = self._first_level(ck.bk, ck.ksk, leaves, nonce, ia, ib, io, cs)
         for ia, ib, io, cs in plans[1:]:
             wires = self._level(ck.bk, ck.ksk, wires, ia, ib, io, cs)
         bit = self._final(ck.bk, self.ctx.sk.lv1, wires, iab, coeff)
-        return int(jax.block_until_ready(bit))
+        return int(jax.block_until_ready(bit)) ^ root_neg

@@ -146,3 +146,77 @@ def test_repl_single_expr_still_exact(ctx):
         ("((1&1)&(1&1))|(0^0)", 1),  # duplicated subtrees collapse
     ]:
         assert ev.eval_bit(parse(s)) == want, s
+
+
+# ---------------- NOT folding (lower_folded) ---------------- #
+
+def _folded_levels(c):
+    from rustfhe_tpu.apps.circuits import lower_folded, optimize as opt
+
+    coeff, ia, ib, ow, nw, osrc, oneg = lower_folded(opt(c))
+    lv = {w: 0 for w in range(c.n_inputs)}
+    depth = 0
+    for g in range(len(ow)):
+        l = 1 + max(lv.get(ia[g], 0), lv.get(ib[g], 0))
+        lv[ow[g]] = l
+        depth = max(depth, l)
+    return depth, len(ow)
+
+
+def test_not_folding_removes_levels_and_lanes():
+    """NOT is a free ciphertext negation: folded programs drop every not
+    gate AND the levels it occupied."""
+    d, g = _folded_levels(comparator(8))
+    assert g == 38 and d == 16  # 55 gates/18 levels unfolded
+    d, g = _folded_levels(ripple_borrow_subtractor(8))
+    assert g == 37 and d == 15  # 52 gates/16 levels unfolded
+    # NOT-free circuits are untouched.
+    d, g = _folded_levels(kogge_stone_adder(8))
+    assert g == 67 and d == 7
+
+
+def test_not_chain_emits_zero_gates():
+    from rustfhe_tpu.apps.circuits import lower_folded
+
+    c = Circuit(n_inputs=1)
+    w = 0
+    for _ in range(5):
+        w = c.not_(w)
+    c.outputs = [w, c.not_(w)]
+    coeff, ia, ib, ow, nw, osrc, oneg = lower_folded(c)
+    assert len(ow) == 0
+    assert list(osrc) == [0, 0] and list(oneg) == [True, False]
+
+
+def test_encrypted_not_heavy_circuits(ctx):
+    """Folded evaluation stays exact on NOT-heavy circuits, including
+    negated outputs."""
+    for build in (lambda: comparator(6), lambda: ripple_borrow_subtractor(6)):
+        c = build()
+        # Also expose a negated output directly.
+        c.outputs = c.outputs + [c.not_(c.outputs[0])]
+        rs = np.random.RandomState(5)
+        for _ in range(2):
+            bits = rs.randint(0, 2, size=c.n_inputs).astype(np.uint32)
+            cts = ctx.encrypt(jnp.asarray(bits))
+            dec = np.asarray(ctx.decrypt(evaluate_encrypted(c, ctx, cts)))
+            assert np.array_equal(dec, evaluate_plain(c, bits))
+
+
+def test_repl_not_expressions(ctx):
+    """Console NOTs are free: pure-NOT expressions never touch the device,
+    and negated roots flip host-side."""
+    from rustfhe_tpu.apps.nander import parse_logic_expr as parse
+    from rustfhe_tpu.apps.replprog import FusedEvaluator
+
+    ev = FusedEvaluator(ctx, width=8, max_wires=32)
+    for s, want in [("!1", 0), ("!!1", 1), ("!!!0", 1),
+                    ("!(1&1)", 0), ("!(1&0)&!(0|0)", 1)]:
+        ast = parse(s)
+        assert ev.fits(ast), s
+        assert ev.eval_bit(ast) == want, s
+    # Pure-NOT chains are consts: the plan carries no device levels.
+    assert ev._plan(parse("!!!1"))[0] == "const"
+    # Pipelined mix with negated + leaf-only + gate roots.
+    exprs = [parse(s) for s in ["!1", "!(1&1)", "1|0", "0"]]
+    assert ev.eval_bits(exprs) == [0, 0, 1, 0]
