@@ -83,6 +83,22 @@ class TFHE:
             raise ValueError("cloud-only context cannot decrypt")
         return tlwe.decrypt_binary(cts, self.sk.lv0)
 
+    def encrypt_seeded(self, bits):
+        """Compressed client->server form: ``(seed (2,) uint32, bodies)``,
+        ~(n+1)x smaller than ``encrypt`` on the wire; any party (including
+        a cloud-only context) expands with ``expand_seeded``.  Seeded and
+        direct encryptions under the same PRNG key are bit-identical
+        (tlwe.encrypt_binary_seeded)."""
+        if self.sk is None:
+            raise ValueError("cloud-only context cannot encrypt")
+        return tlwe.encrypt_binary_seeded(
+            self._next_key(), self.sk.lv0, jnp.asarray(bits), self.params)
+
+    def expand_seeded(self, seeded) -> jnp.ndarray:
+        """(seed, bodies) -> full TLWE batch; public, works cloud-only."""
+        seed, b = seeded
+        return tlwe.expand_seeded(seed, b, self.params.n)
+
     def trivial(self, bits) -> jnp.ndarray:
         """Noiseless ciphertexts of constants (AsLogic, tlwe.rs:80-87)."""
         from . import torus

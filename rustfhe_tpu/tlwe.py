@@ -70,6 +70,49 @@ def encrypt_torus(key, s: jnp.ndarray, m, params: TFHEParams) -> jnp.ndarray:
     return jnp.concatenate([b[..., None], a], axis=-1)
 
 
+def _seed_data(key) -> jnp.ndarray:
+    """PRNG key -> raw (2,) uint32 seed words (handles typed key arrays)."""
+    if jnp.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key):
+        key = jax.random.key_data(key)
+    return jnp.asarray(key, U32)
+
+
+def encrypt_torus_seeded(key, s: jnp.ndarray, m, params: TFHEParams):
+    """Seeded (compressed) encryption: ``(seed (2,) uint32, body B)``.
+
+    The mask ``a`` of ``encrypt_torus`` is already a deterministic function
+    of the public PRNG seed (counter-based ``utils/rng.uniform_torus``), so
+    a ciphertext can travel as just ``(seed, b)`` — ``(n+1)x`` smaller on
+    the wire — and any party re-derives ``a`` with ``expand_seeded``.  This
+    is the TFHE-rs seeded/compressed-ciphertext capability (absent from
+    the reference, which has no serialization at all — SURVEY.md §5); it
+    is security-neutral: the mask is public in a normal ciphertext too,
+    and here it is the same pseudorandom mask, just named by its seed.
+
+    ``expand_seeded(seed, b, n)`` reproduces ``encrypt_torus(key, ...)``
+    BIT-FOR-BIT (pinned by tests/test_seeded.py), so seeded and direct
+    encryptions are interchangeable.  One seed covers the whole batch.
+    """
+    ct = encrypt_torus(key, s, m, params)
+    return _seed_data(key), body(ct)
+
+
+def encrypt_binary_seeded(key, s: jnp.ndarray, bits, params: TFHEParams):
+    return encrypt_torus_seeded(key, s, torus.binary_to_torus(bits), params)
+
+
+def expand_seeded(seed, b, n: int) -> jnp.ndarray:
+    """(seed, body) -> full TLWE batch ``(..., n+1)``; public operation.
+
+    Re-derives the mask exactly as ``encrypt_torus`` drew it: the first
+    half of ``jax.random.split(seed)`` feeds ``uniform_torus`` at the
+    body's batch shape."""
+    b = jnp.asarray(b, U32)
+    ka, _ke = jax.random.split(jnp.asarray(seed, U32))
+    a = uniform_torus(ka, b.shape + (n,))
+    return jnp.concatenate([b[..., None], a], axis=-1)
+
+
 def phase(ct, s: jnp.ndarray) -> jnp.ndarray:
     """b - <a, s> (tlwe.rs:230-240)."""
     ct = jnp.asarray(ct, U32)

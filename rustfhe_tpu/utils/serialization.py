@@ -146,3 +146,24 @@ def load_ciphertexts(path: str) -> tuple[jnp.ndarray, TFHEParams]:
         params = _parse_header(z["header"])
         cts = jnp.asarray(z["cts"])
     return cts, params
+
+
+def save_seeded_ciphertexts(path: str, seeded, params: TFHEParams) -> None:
+    """Store a seeded TLWE batch (tlwe.encrypt_binary_seeded): the file
+    holds (seed (2,) uint32, bodies) — ~(n+1)x smaller than the expanded
+    form ``save_ciphertexts`` writes (636x at the production n=635)."""
+    seed, b = seeded
+    np.savez_compressed(path, header=_params_header(params),
+                        seed=np.asarray(seed, np.uint32),
+                        body=np.asarray(b, np.uint32))
+
+
+def load_seeded_ciphertexts(path: str) -> tuple[jnp.ndarray, TFHEParams]:
+    """Load + EXPAND a seeded batch to full ``(..., n+1)`` ciphertexts
+    (expansion is public — mask re-derivation from the stored seed)."""
+    from .. import tlwe
+
+    with np.load(path) as z:
+        params = _parse_header(z["header"])
+        cts = tlwe.expand_seeded(z["seed"], z["body"], params.n)
+    return cts, params
