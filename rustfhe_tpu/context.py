@@ -99,6 +99,23 @@ class TFHE:
         seed, b = seeded
         return tlwe.expand_seeded(seed, b, self.params.n)
 
+    def make_public_key(self, rows: int | None = None) -> jnp.ndarray:
+        """Publishable encryption key (M, n+1): zero-encryptions under the
+        secret key.  Keyless parties then encrypt with
+        ``encrypt_public`` / ``tlwe.encrypt_binary_public``."""
+        if self.sk is None:
+            raise ValueError("cloud-only context cannot derive a public key")
+        return tlwe.gen_public_key(self._next_key(), self.sk.lv0,
+                                   self.params, rows)
+
+    def encrypt_public(self, pk, bits, key=None) -> jnp.ndarray:
+        """Encrypt under a PUBLIC key — works on a cloud-only context (no
+        secret material; pass an explicit PRNG ``key`` there)."""
+        if key is None:
+            key = self._next_key()
+        return tlwe.encrypt_binary_public(key, pk, jnp.asarray(bits),
+                                          self.params)
+
     def trivial(self, bits) -> jnp.ndarray:
         """Noiseless ciphertexts of constants (AsLogic, tlwe.rs:80-87)."""
         from . import torus

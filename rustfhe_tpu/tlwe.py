@@ -70,6 +70,49 @@ def encrypt_torus(key, s: jnp.ndarray, m, params: TFHEParams) -> jnp.ndarray:
     return jnp.concatenate([b[..., None], a], axis=-1)
 
 
+def gen_public_key(key, s: jnp.ndarray, params: TFHEParams,
+                   rows: int | None = None) -> jnp.ndarray:
+    """LWE public key: ``rows`` encryptions of zero, shape (M, n+1).
+
+    Regev-style public-key encryption (the TFHE-rs CompactPublicKey
+    capability; the reference is secret-key only): the key holder
+    publishes M = 2(n+1) zero-encryptions; any party then encrypts by
+    summing a random binary subset and adding the message plus one fresh
+    smoothing noise (``encrypt_torus_public``).  Security is the standard
+    LWE argument (the pk rows are LWE samples; the subset-sum is again
+    LWE-pseudorandom with the smoothing noise), not the statistical
+    leftover-hash bound (which would need M > (n+1) log2 q rows).
+
+    Noise: a pk ciphertext carries ~M/2 zero-encryption noises + 1 fresh
+    noise; at the DEFAULT set this moves the calibrated gate margin only
+    9.1 -> 9.0 predicted sigma (5.7 -> 5.6 lower bound) because fresh
+    input noise is negligible against the bootstrap terms
+    (utils/noise.noise_budget: var_fresh ~ 1e-5 of sigma_total^2).
+    """
+    M = rows if rows is not None else 2 * (s.shape[-1] + 1)
+    return encrypt_torus(key, s, jnp.zeros((M,), U32), params)
+
+
+def encrypt_torus_public(key, pk: jnp.ndarray, m, params: TFHEParams) -> jnp.ndarray:
+    """Encrypt under the PUBLIC key: no secret material needed.
+
+    ct = sum of a fresh random binary subset of the pk rows, plus the
+    message and one smoothing noise on the body.  Batched over ``m``'s
+    shape (an independent subset per message)."""
+    m = jnp.asarray(m, U32)
+    kr, ke = jax.random.split(key)
+    from .utils.rng import binary_array
+
+    r = binary_array(kr, m.shape + (pk.shape[0],))  # (..., M)
+    ct = jnp.sum(r[..., None].astype(U32) * pk, axis=-2, dtype=U32)
+    e = gaussian_torus(ke, m.shape, params.alpha_lv0)
+    return ct.at[..., 0].add(e + m)
+
+
+def encrypt_binary_public(key, pk: jnp.ndarray, bits, params: TFHEParams) -> jnp.ndarray:
+    return encrypt_torus_public(key, pk, torus.binary_to_torus(bits), params)
+
+
 def _seed_data(key) -> jnp.ndarray:
     """PRNG key -> raw (2,) uint32 seed words (handles typed key arrays)."""
     if jnp.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key):
