@@ -104,8 +104,9 @@ def exprs_to_circuit(exprs) -> tuple[Circuit, list[int]]:
 
 
 def expr_to_circuit(expr) -> tuple[Circuit, list[int]]:
-    """nander AST -> (Circuit with one leaf input wire per Leaf occurrence,
-    leaf bit values)."""
+    """nander AST -> (Circuit with one input wire per DISTINCT leaf value
+    — at most two, see exprs_to_circuit — and the leaf bit values, padded
+    to n_inputs)."""
     return exprs_to_circuit([expr])
 
 
@@ -246,10 +247,13 @@ class FusedEvaluator:
         level exceeds the lane width, the wire file overflows, or K
         exceeds the readback width.  The last lowering is memoized by the
         expression objects' identities, so the fits_many + eval_bits pair
-        the console issues per chunk lowers once, not twice."""
-        key = tuple(map(id, exprs))
+        the console issues per chunk lowers once, not twice.  The memo
+        HOLDS the expression objects (identity compare via ``is``), so a
+        freed AST's recycled id can never alias a stale plan."""
+        key = tuple(exprs)
         cached = getattr(self, "_plan_memo", None)
-        if cached is not None and cached[0] == key:
+        if (cached is not None and len(cached[0]) == len(key)
+                and all(a is b for a, b in zip(cached[0], key))):
             return cached[1]
         plan = self._plan_many_uncached(exprs)
         self._plan_memo = (key, plan)

@@ -89,7 +89,16 @@ def gen_public_key(key, s: jnp.ndarray, params: TFHEParams,
     input noise is negligible against the bootstrap terms
     (utils/noise.noise_budget: var_fresh ~ 1e-5 of sigma_total^2).
     """
-    M = rows if rows is not None else 2 * (s.shape[-1] + 1)
+    n = s.shape[-1]
+    M = rows if rows is not None else 2 * (n + 1)
+    if M < n + 1:
+        # Too few rows makes the subset-sum enumerable (2^M masks): an
+        # attacker matches mask(ct - S_j) == 0 over all subset sums S_j
+        # and reads the body.  Gate it like every other unsafe parameter
+        # choice in this framework (pbs margin gates, keys HBM guards).
+        raise ValueError(
+            f"public key needs rows >= n+1 = {n + 1} (got {M}): fewer "
+            f"rows make the ciphertext mask enumerable")
     return encrypt_torus(key, s, jnp.zeros((M,), U32), params)
 
 
@@ -104,13 +113,36 @@ def encrypt_torus_public(key, pk: jnp.ndarray, m, params: TFHEParams) -> jnp.nda
     from .utils.rng import binary_array
 
     r = binary_array(kr, m.shape + (pk.shape[0],))  # (..., M)
-    ct = jnp.sum(r[..., None].astype(U32) * pk, axis=-2, dtype=U32)
+    # Matrix product, not a materialized (..., M, n+1) outer product: at
+    # production dims a 4096-batch outer form would stage ~13 GB; the dot
+    # is the same wrapping mod-2^32 result with O(batch * (n+1)) memory
+    # (and rides the MXU on TPU).
+    ct = jnp.matmul(r.astype(U32), pk, preferred_element_type=U32)
     e = gaussian_torus(ke, m.shape, params.alpha_lv0)
     return ct.at[..., 0].add(e + m)
 
 
 def encrypt_binary_public(key, pk: jnp.ndarray, bits, params: TFHEParams) -> jnp.ndarray:
     return encrypt_torus_public(key, pk, torus.binary_to_torus(bits), params)
+
+
+def _canonical_key(key) -> jnp.ndarray:
+    """PRNG key -> raw (2,) uint32 threefry key words.
+
+    Typed key arrays with a NON-default implementation are rejected: their
+    split/bits semantics differ, so ``expand_seeded`` (which derives the
+    mask from raw words under the default impl) would reproduce a
+    different mask and decryptions would be silent garbage."""
+    key = jnp.asarray(key)
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        impl = str(jax.random.key_impl(key))
+        default = str(jax.random.key_impl(jax.random.PRNGKey(0)))
+        if impl != default:
+            raise ValueError(
+                f"seeded encryption requires the default ({default}) PRNG "
+                f"implementation; got {impl}")
+        key = jax.random.key_data(key)
+    return jnp.asarray(key, U32)
 
 
 def _seed_data(key) -> jnp.ndarray:
@@ -128,16 +160,24 @@ def encrypt_torus_seeded(key, s: jnp.ndarray, m, params: TFHEParams):
     a ciphertext can travel as just ``(seed, b)`` — ``(n+1)x`` smaller on
     the wire — and any party re-derives ``a`` with ``expand_seeded``.  This
     is the TFHE-rs seeded/compressed-ciphertext capability (absent from
-    the reference, which has no serialization at all — SURVEY.md §5); it
-    is security-neutral: the mask is public in a normal ciphertext too,
-    and here it is the same pseudorandom mask, just named by its seed.
+    the reference, which has no serialization at all — SURVEY.md §5).
+    Only the MASK subkey is published — the mask is public in a normal
+    ciphertext too, so naming it by its seed is security-neutral; the
+    noise subkey must never leave the encryptor (see the inline note).
 
     ``expand_seeded(seed, b, n)`` reproduces ``encrypt_torus(key, ...)``
     BIT-FOR-BIT (pinned by tests/test_seeded.py), so seeded and direct
     encryptions are interchangeable.  One seed covers the whole batch.
     """
     ct = encrypt_torus(key, s, m, params)
-    return _seed_data(key), body(ct)
+    # Publish ONLY the mask subkey (split(key)[0]): the mask is public in
+    # a normal ciphertext anyway.  Publishing the full key would be a
+    # total break — the noise subkey split(key)[1] lets anyone recompute
+    # every Gaussian sample e_i, and since m_i = ±2^29 is even,
+    # (b_i - e_i) mod 2 = <a_i mod 2, s> yields the binary secret key by
+    # GF(2) elimination from ~n seeded bits.
+    ka, _ke = jax.random.split(_canonical_key(key))
+    return _seed_data(ka), body(ct)
 
 
 def encrypt_binary_seeded(key, s: jnp.ndarray, bits, params: TFHEParams):
@@ -147,12 +187,12 @@ def encrypt_binary_seeded(key, s: jnp.ndarray, bits, params: TFHEParams):
 def expand_seeded(seed, b, n: int) -> jnp.ndarray:
     """(seed, body) -> full TLWE batch ``(..., n+1)``; public operation.
 
-    Re-derives the mask exactly as ``encrypt_torus`` drew it: the first
-    half of ``jax.random.split(seed)`` feeds ``uniform_torus`` at the
-    body's batch shape."""
+    ``seed`` is the MASK subkey published by ``encrypt_torus_seeded``;
+    feeding it to ``uniform_torus`` at the body's batch shape reproduces
+    the mask exactly as ``encrypt_torus`` drew it.  The noise subkey is
+    never published (see the security note in ``encrypt_torus_seeded``)."""
     b = jnp.asarray(b, U32)
-    ka, _ke = jax.random.split(jnp.asarray(seed, U32))
-    a = uniform_torus(ka, b.shape + (n,))
+    a = uniform_torus(jnp.asarray(seed, U32), b.shape + (n,))
     return jnp.concatenate([b[..., None], a], axis=-1)
 
 

@@ -92,3 +92,34 @@ def test_production_shape_seed_determinism():
     assert np.array_equal(np.asarray(ct1), np.asarray(ct2))
     assert ct1.shape == (5, DEFAULT_PARAMS.n + 1)
     del k
+
+
+def test_seed_is_mask_subkey_not_full_key():
+    """SECURITY regression: the published seed must be the mask subkey
+    split(key)[0], never the full PRNG key (whose noise subkey would let
+    anyone recompute every Gaussian sample and solve for the secret key
+    over GF(2))."""
+    from rustfhe_tpu.keys import gen_secret_key
+
+    k = jax.random.PRNGKey(13)
+    sk = gen_secret_key(jax.random.fold_in(k, 0), TEST_PARAMS)
+    ke = jax.random.fold_in(k, 1)
+    seed, _body = tlwe.encrypt_binary_seeded(
+        ke, sk.lv0, jnp.asarray([1, 0], jnp.uint32), TEST_PARAMS)
+    assert not np.array_equal(np.asarray(seed), np.asarray(ke))
+    assert np.array_equal(np.asarray(seed),
+                          np.asarray(jax.random.split(ke)[0]))
+
+
+def test_public_key_rows_floor():
+    """Too-few pk rows (enumerable subset-sum) must raise, like every
+    other unsafe parameter choice in the framework."""
+    from rustfhe_tpu.keys import gen_secret_key
+
+    sk = gen_secret_key(jax.random.PRNGKey(1), TEST_PARAMS)
+    try:
+        tlwe.gen_public_key(jax.random.PRNGKey(2), sk.lv0, TEST_PARAMS,
+                            rows=TEST_PARAMS.n)
+        assert False, "rows < n+1 must raise"
+    except ValueError as e:
+        assert "rows" in str(e)
