@@ -61,6 +61,18 @@ class FheUint:
         tlwe.rs:80-87) — the evaluator-side way to mix plaintexts in."""
         return cls(ctx, ctx.trivial(cls._to_bits(values, width)))
 
+    @classmethod
+    def encrypt_seeded(cls, ctx, values, width: int):
+        """Compressed client->server upload of integers: (seed, bodies)
+        over the (..., width) bit planes, ~(n+1)x smaller than
+        ``encrypt``; rebuild with ``expand_seeded`` (public — the server
+        or any cloud-only context can do it)."""
+        return ctx.encrypt_seeded(cls._to_bits(values, width))
+
+    @classmethod
+    def expand_seeded(cls, ctx, seeded) -> "FheUint":
+        return cls(ctx, ctx.expand_seeded(seeded))
+
     @staticmethod
     def _to_bits(values, width: int):
         assert 0 < width <= 64

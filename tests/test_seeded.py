@@ -123,3 +123,17 @@ def test_public_key_rows_floor():
         assert False, "rows < n+1 must raise"
     except ValueError as e:
         assert "rows" in str(e)
+
+
+def test_fheuint_seeded_roundtrip():
+    """Typed-integer seeded upload: encrypt_seeded -> public expand ->
+    arithmetic -> decrypt."""
+    from rustfhe_tpu.ints import FheUint
+
+    ctx = TFHE.new(jax.random.PRNGKey(17), TEST_PARAMS, "matmul")
+    ctx.circuit_fixed_width = None
+    vals = np.array([3, 250, 77], np.uint64)
+    seeded = FheUint.encrypt_seeded(ctx, vals, 8)
+    a = FheUint.expand_seeded(ctx.cloud_only(), seeded)
+    assert np.array_equal(
+        np.asarray(FheUint(ctx, a.bits).decrypt()), vals)
