@@ -31,7 +31,6 @@ the lowering mirrors ``apps/circuits.lower``.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
