@@ -73,6 +73,14 @@ class FheUint:
     def expand_seeded(cls, ctx, seeded) -> "FheUint":
         return cls(ctx, ctx.expand_seeded(seeded))
 
+    @classmethod
+    def encrypt_public(cls, ctx, pk, values, width: int, key=None) -> "FheUint":
+        """Keyless typed-integer encryption under a PUBLIC key
+        (tlwe.gen_public_key): works on a cloud-only context with an
+        explicit PRNG ``key``."""
+        return cls(ctx, ctx.encrypt_public(pk, cls._to_bits(values, width),
+                                           key=key))
+
     @staticmethod
     def _to_bits(values, width: int):
         assert 0 < width <= 64

@@ -53,3 +53,30 @@ def test_gates_on_public_ciphertexts(ctx):
 def test_cloud_only_cannot_make_public_key(ctx):
     with pytest.raises(ValueError, match="cloud-only"):
         ctx.cloud_only().make_public_key()
+
+
+def test_fheuint_public_encryption(ctx):
+    """Keyless typed-integer encryption: a cloud-only party encrypts
+    integers under the public key; the key holder decrypts them."""
+    from rustfhe_tpu.ints import FheUint
+
+    pk = ctx.make_public_key()
+    vals = np.array([9, 200, 0], np.uint64)
+    a = FheUint.encrypt_public(ctx.cloud_only(), pk, vals, 8,
+                               key=jax.random.PRNGKey(31))
+    assert np.array_equal(np.asarray(FheUint(ctx, a.bits).decrypt()), vals)
+
+
+def test_client_server_example_runs():
+    """The three-party example (examples/client_server.py) must keep
+    working: subprocess run, asserts internally, checks the closing line."""
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    out = subprocess.run(
+        [sys.executable, str(root / "examples" / "client_server.py")],
+        capture_output=True, text=True, timeout=300, cwd=str(root))
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "both decode correctly" in out.stdout
