@@ -154,6 +154,21 @@ class RadixUint:
         return cls(ctx, tlwe.trivial(_pbs.encode_int(digs, SPACE),
                                      ctx.params.n))
 
+    @classmethod
+    def encrypt_seeded(cls, ctx, values, ndigits: int):
+        """Compressed upload of radix integers: (seed, bodies) over the
+        (..., ndigits) digit ciphertexts, ~(n+1)x smaller than
+        ``encrypt``; rebuild with ``expand_seeded`` (public)."""
+        digs = cls._to_digits(values, ndigits)
+        return tlwe.encrypt_torus_seeded(
+            ctx._next_key(), ctx.sk.lv0, _pbs.encode_int(digs, SPACE),
+            ctx.params)
+
+    @classmethod
+    def expand_seeded(cls, ctx, seeded) -> "RadixUint":
+        seed, b = seeded
+        return cls(ctx, tlwe.expand_seeded(seed, b, ctx.params.n))
+
     def decrypt(self):
         digs = np.asarray(
             _pbs.decrypt_int(self.digits, self.ctx.sk.lv0, SPACE), np.uint64)

@@ -137,3 +137,16 @@ def test_fheuint_seeded_roundtrip():
     a = FheUint.expand_seeded(ctx.cloud_only(), seeded)
     assert np.array_equal(
         np.asarray(FheUint(ctx, a.bits).decrypt()), vals)
+
+
+def test_radix_seeded_roundtrip():
+    """Radix-integer seeded upload: (seed, digit bodies) -> public expand
+    -> decrypt."""
+    from rustfhe_tpu.radix import RadixUint
+
+    ctx = TFHE.new(jax.random.PRNGKey(23), TEST_PARAMS, "matmul")
+    vals = np.array([7, 255, 129], np.uint64)
+    seeded = RadixUint.encrypt_seeded(ctx, vals, 4)
+    a = RadixUint.expand_seeded(ctx.cloud_only(), seeded)
+    assert np.array_equal(
+        np.asarray(RadixUint(ctx, a.digits).decrypt()), vals)
